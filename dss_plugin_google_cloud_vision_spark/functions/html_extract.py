@@ -1,0 +1,210 @@
+# -*- coding: utf-8 -*-
+"""Deterministic HTML main-content extraction (boilerplate stripping).
+
+This is the engine's replacement for the reference's per-image Vision OCR
+call: instead of shipping bytes to a remote API
+(reference: python-lib/google_vision_api_client.py:80-130), each HTML
+payload is decoded locally and reduced to its main content with classic
+text-density / link-density block scoring (Boilerpipe / trafilatura-style
+heuristics), producing the extracted text plus character-span offsets.
+
+Design constraints (north rule):
+- **Pure + deterministic**: output depends only on the input bytes. No
+  dict-iteration order, no randomness, no wall clock. Fixed tie-breaks.
+  Re-runs and different partitionings are byte-identical.
+- **stdlib-only**: ``html.parser`` (lenient: truncated/misnested markup
+  never raises).
+
+Algorithm:
+1. Decode UTF-8 (strict). Undecodable or empty payloads raise
+   ``ExtractionError`` → captured into the row's error columns by the
+   extraction stage (reference error-capture semantics:
+   python-lib/parallelizer.py:61-79).
+2. Segment the document into text blocks at block-level tag boundaries,
+   tracking for each block: anchor-text chars, whether any enclosing
+   element is boilerplate (nav/header/footer/aside/form), whether inside
+   <article>/<main>, heading level. <script>/<style>/<head>/... subtrees
+   are skipped entirely.
+3. Normalize whitespace per block (collapse runs → single space, strip).
+4. Keep a block iff it is not inside a boilerplate ancestor and either
+   (a) inside <article>/<main> with >= MIN_ARTICLE_CHARS chars, or
+   (b) anywhere with >= MIN_CONTENT_CHARS chars and link density <= 1/3.
+5. Join kept blocks with "\\n\\n"; spans are offsets into that output.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import List, NamedTuple, Optional, Tuple
+
+from ..errors import ExtractionError
+from .langid import guess_language
+from .response import Span
+
+MIN_CONTENT_CHARS = 25
+MIN_ARTICLE_CHARS = 8
+MAX_LINK_DENSITY = 1.0 / 3.0
+BLOCK_SEPARATOR = "\n\n"
+
+SKIP_SUBTREE_TAGS = frozenset(
+    {"script", "style", "noscript", "template", "svg", "head", "title", "iframe", "object"}
+)
+BOILERPLATE_TAGS = frozenset({"nav", "header", "footer", "aside", "form", "menu"})
+ARTICLE_TAGS = frozenset({"article", "main"})
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+# Tags whose open/close flushes the current text run into a block.
+BLOCK_BOUNDARY_TAGS = frozenset(
+    {
+        "p", "div", "section", "article", "main", "li", "ul", "ol", "td", "th",
+        "tr", "table", "pre", "blockquote", "figure", "figcaption", "dl", "dt",
+        "dd", "br", "hr", "body", "html",
+    }
+    | BOILERPLATE_TAGS
+    | HEADING_TAGS
+)
+
+_WHITESPACE_RE = re.compile(r"\s+")
+
+
+def _collapse(text: str) -> str:
+    return _WHITESPACE_RE.sub(" ", text).strip()
+
+
+class _Block(NamedTuple):
+    text: str
+    anchor_chars: int
+    in_boilerplate: bool
+    in_article: bool
+    heading: bool
+
+    @property
+    def link_density(self) -> float:
+        return self.anchor_chars / len(self.text) if self.text else 0.0
+
+
+class _BlockCollector(HTMLParser):
+    """Segments the document into text blocks at block-tag boundaries."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.blocks: List[_Block] = []
+        self._segments: List[Tuple[str, bool]] = []  # (raw text, in_anchor)
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._article_depth = 0
+        self._anchor_depth = 0
+        self._heading_depth = 0
+
+    def _flush(self):
+        if not self._segments:
+            return
+        raw = "".join(segment for segment, _ in self._segments)
+        text = _collapse(raw)
+        if text:
+            anchor_chars = sum(
+                len(_collapse(segment)) for segment, in_anchor in self._segments if in_anchor
+            )
+            self.blocks.append(
+                _Block(
+                    text=text,
+                    anchor_chars=min(anchor_chars, len(text)),
+                    in_boilerplate=self._boiler_depth > 0,
+                    in_article=self._article_depth > 0,
+                    heading=self._heading_depth > 0,
+                )
+            )
+        self._segments = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in BLOCK_BOUNDARY_TAGS:
+            self._flush()
+        if tag in SKIP_SUBTREE_TAGS:
+            self._skip_depth += 1
+        if tag in BOILERPLATE_TAGS:
+            self._boiler_depth += 1
+        if tag in ARTICLE_TAGS:
+            self._article_depth += 1
+        if tag in HEADING_TAGS:
+            self._heading_depth += 1
+        if tag == "a":
+            self._anchor_depth += 1
+
+    def handle_startendtag(self, tag, attrs):
+        if tag in BLOCK_BOUNDARY_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in BLOCK_BOUNDARY_TAGS:
+            self._flush()
+        if tag in SKIP_SUBTREE_TAGS and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag in BOILERPLATE_TAGS and self._boiler_depth > 0:
+            self._boiler_depth -= 1
+        if tag in ARTICLE_TAGS and self._article_depth > 0:
+            self._article_depth -= 1
+        if tag in HEADING_TAGS and self._heading_depth > 0:
+            self._heading_depth -= 1
+        if tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self._segments.append((data, self._anchor_depth > 0))
+
+
+class HtmlExtraction(NamedTuple):
+    text: str
+    spans: List[Span]
+    language_code: str
+    language_confidence: float
+
+
+def _keep(block: _Block) -> bool:
+    if block.in_boilerplate:
+        return False
+    if block.link_density > MAX_LINK_DENSITY:
+        return False
+    if block.in_article:
+        return len(block.text) >= MIN_ARTICLE_CHARS
+    return len(block.text) >= MIN_CONTENT_CHARS
+
+
+def decode_payload(payload: Optional[bytes]) -> str:
+    """Strict UTF-8 decode; empty or undecodable payloads are extraction
+    errors (the error-path analogue of the reference's per-row API
+    failures)."""
+    if payload is None or len(payload) == 0:
+        raise ExtractionError("empty document payload")
+    try:
+        text = bytes(payload).decode("utf-8")
+    except UnicodeDecodeError as error:
+        raise ExtractionError(f"undecodable document payload: {error}") from None
+    if text.startswith("﻿"):
+        text = text[1:]
+    return text
+
+
+def extract_html(payload: bytes) -> HtmlExtraction:
+    """bytes → (main-content text, char spans, language guess)."""
+    markup = decode_payload(payload)
+    collector = _BlockCollector()
+    collector.feed(markup)
+    collector.close()
+    collector._flush()
+    kept = [b for b in collector.blocks if _keep(b)]
+    spans: List[Span] = []
+    parts: List[str] = []
+    offset = 0
+    for block_id, block in enumerate(kept):
+        if parts:
+            offset += len(BLOCK_SEPARATOR)
+        start = offset
+        end = start + len(block.text)
+        kind = "heading" if block.heading else "paragraph"
+        spans.append((kind, start, end, block_id))
+        parts.append(block.text)
+        offset = end
+    text = BLOCK_SEPARATOR.join(parts)
+    code, confidence = guess_language(text)
+    return HtmlExtraction(text=text, spans=spans, language_code=code, language_confidence=confidence)
