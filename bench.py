@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures raw extraction throughput (documents/sec) over a generated
+pages table (``$SPARK_GRAFT_BENCH_DOCS`` docs, default 20000) — the
+BASELINE.json headline metric. The two-parallelism scaling run lives in
+``BENCH/run_scaling.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+_pythonpath = os.environ.get("PYTHONPATH", "")
+if REPO_ROOT not in _pythonpath.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        os.pathsep.join([REPO_ROOT, _pythonpath]) if _pythonpath else REPO_ROOT
+    )
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages
+    from dss_plugin_google_cloud_vision_spark.session import get_spark
+    from dss_plugin_google_cloud_vision_spark.sources.pages import pages_df
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=str(CPUS))
+
+    timings = {}
+    total = 0.0
+    for name, fn in entrymod.queries().items():
+        started = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # force full execution without driver materialization of all rows
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - started
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+
+    # raw extraction throughput: generated pages, full extract, noop sink
+    pages = pages_df(spark, BENCH_DOCS, partitions=CPUS * 2)
+    pages.write.mode("overwrite").parquet("/tmp/bench_pages.parquet")
+    stored = spark.read.parquet("/tmp/bench_pages.parquet")
+    started = time.perf_counter()
+    extract_pages(stored, drop_payload=True).write.format("noop").mode("overwrite").save()
+    extract_elapsed = time.perf_counter() - started
+    docs_per_sec = BENCH_DOCS / extract_elapsed
+    timings["extract_throughput"] = round(extract_elapsed, 3)
+    total += extract_elapsed
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "extract_docs_per_sec": round(docs_per_sec, 1),
+        "bench_docs": BENCH_DOCS,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

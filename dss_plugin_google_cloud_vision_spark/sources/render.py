@@ -1,0 +1,58 @@
+# -*- coding: utf-8 -*-
+"""Render the driver-provided ``documents`` table into the pages shape —
+entirely with JVM-side column expressions (no Python UDF).
+
+This gives the correctness harness a *pages* table whose ground-truth
+extraction is known analytically (the article body IS ``documents.text``),
+so the full extraction pipeline becomes oracle-checkable in plain SQL:
+byte-identical recovery of ``text`` per ``doc_id`` is the north rule's
+byte-identity invariant expressed as a DuckDB-verifiable query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_EPOCH_SECONDS = 1704067200  # 2024-01-01T00:00:00Z
+
+_TEMPLATE = (
+    "<!DOCTYPE html><html><head><title>doc %s</title>"
+    "<style>body {margin: 0}</style></head><body>"
+    '<header><h1>Site docs.example.org</h1><nav><ul>'
+    '<li><a href="/">home</a></li><li><a href="/about">about</a></li>'
+    '<li><a href="/contact">contact</a></li></ul></nav></header>'
+    '<div class="content"><article><p>%s</p></article></div>'
+    '<aside><ul><li><a href="/r1">a related link with a long anchor text</a></li>'
+    '<li><a href="/r2">another related link with long anchor text</a></li></ul></aside>'
+    "<footer><p>copyright docs.example.org all rights reserved</p></footer>"
+    "</body></html>"
+)
+
+
+def _escape_html(col: Column) -> Column:
+    """Minimal HTML escaping (& first), inverted by the extractor's
+    entity decoding — keeps the identity invariant even if text carries
+    markup characters."""
+    escaped = F.regexp_replace(col, "&", "&amp;")
+    escaped = F.regexp_replace(escaped, "<", "&lt;")
+    return F.regexp_replace(escaped, ">", "&gt;")
+
+
+def documents_as_pages(documents: DataFrame, error_mod: int = 0) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text,
+    lang, doc_id). With ``error_mod`` > 0, every ``doc_id % error_mod == 0``
+    row gets an empty payload — a deterministic error-path subset whose
+    size is SQL-computable by the oracle."""
+    html_string = F.format_string(_TEMPLATE, F.col("doc_id"), _escape_html(F.col("text")))
+    html = F.encode(html_string, "UTF-8")
+    if error_mod > 0:
+        html = F.when(F.col("doc_id") % error_mod == 0, F.lit(b"")).otherwise(html)
+    return documents.select(
+        F.format_string("https://docs.example.org/%s/doc-%s.html", F.col("lang"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_SECONDS) + F.col("doc_id") * 137).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
