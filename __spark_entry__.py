@@ -28,6 +28,7 @@ if REPO_ROOT not in _pythonpath.split(os.pathsep):
         os.pathsep.join([REPO_ROOT, _pythonpath]) if _pythonpath else REPO_ROOT
     )
 
+from dss_plugin_google_cloud_vision_spark import oracles as _oracles  # noqa: E402
 from dss_plugin_google_cloud_vision_spark.operators.extract import extraction_metrics  # noqa: E402
 from dss_plugin_google_cloud_vision_spark.plans.extract_pipeline import (  # noqa: E402
     run_extraction_pipeline,
@@ -238,6 +239,122 @@ def q_min_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators: dedup / similarity / textstats
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies (suffixed) ∪ exact copies — mirrors
+    oracles.CORPUS_CTE so dedup results are decisively non-empty."""
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra suffix token")).alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.col("text")
+    )
+    return docs.unionAll(near).unionAll(exact)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(build_dedup_corpus(spark, sf_dir))
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(build_dedup_corpus(spark, sf_dir))
+
+
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(build_dedup_corpus(spark, sf_dir))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import simhash_table
+
+    return simhash_table(_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(build_dedup_corpus(spark, sf_dir))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import embedding_near_dup_pairs
+
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51): threshold 0.45 keeps the check decisively non-empty
+    return embedding_near_dup_pairs(_table(spark, sf_dir, "embeddings"), threshold_micro=450_000)
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    row = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).collect()[0]
+    return [float(v) for v in row["embedding"]]
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        _table(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
+    )
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        _table(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        regex_token_count,
+        token_count,
+    )
+
+    return _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count().cast("bigint").alias("n_tokens"),
+        regex_token_count().cast("bigint").alias("n_regex_tokens"),
+    )
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import quality_table
+
+    return quality_table(_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        fingerprint_column,
+        shingle_fingerprint_column,
+    )
+
+    return _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        fingerprint_column().alias("doc_md5"),
+        shingle_fingerprint_column().alias("shingle_fp"),
+    )
+
+
+def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import langid_table
+
+    return langid_table(_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_identity": q_extract_text_identity,
@@ -251,6 +368,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_collect": q_merge_collect,
         "text_formatter_roundtrip": q_text_formatter_roundtrip,
         "min_score_filter": q_min_score_filter,
+        "exact_dedup": q_exact_dedup,
+        "minhash_candidates": q_minhash_candidates,
+        "near_dup_pairs": q_near_dup_pairs,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_topk": q_ann_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "token_counts": q_token_counts,
+        "quality_stats": q_quality_stats,
+        "fingerprints": q_fingerprints,
+        "langid_stopword": q_langid_stopword,
     }
 
 
@@ -322,4 +451,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, cast(round(value * 1000) AS bigint) AS value_milli "
             "FROM events WHERE value >= 0.5"
         ),
+        "exact_dedup": _oracles.exact_dedup_sql(),
+        "minhash_candidates": _oracles.minhash_candidates_sql(),
+        "near_dup_pairs": _oracles.near_dup_pairs_sql(),
+        "simhash": _oracles.simhash_sql(),
+        "simhash_near_dups": _oracles.simhash_near_dup_sql(),
+        "embedding_near_dups": _oracles.embedding_near_dup_sql(threshold_micro=450_000),
+        "ann_topk": _oracles.ann_topk_sql(),
+        "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
+        "token_counts": _oracles.token_count_sql(),
+        "quality_stats": _oracles.quality_sql(),
+        "fingerprints": _oracles.fingerprint_sql(),
+        "langid_stopword": _oracles.langid_sql(),
     }

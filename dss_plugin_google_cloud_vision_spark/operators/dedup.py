@@ -1,0 +1,279 @@
+# -*- coding: utf-8 -*-
+"""Deduplication operators for training-data pipelines over document text.
+
+Beyond the reference's operator set (it has no dedup), these are the
+operations a 100 TB Common-Crawl-style corpus pipeline needs. All are
+expressed as DataFrame transformations with deterministic, cross-engine-
+reproducible hashing (md5 over explicit strings — identical in Spark and
+DuckDB, which is what makes the driver's oracle checks exact).
+
+Scale notes:
+- Exact dedup: one hash-shuffle on the text hash (not the text itself when
+  ``by_hash``), map-side combine via groupBy.
+- MinHash+LSH: shingle explode → per-doc signature in ONE aggregation pass
+  (n_hashes parallel min() aggregates) → band explode → equi-join on band
+  key. No pairwise work outside LSH buckets; candidate verification
+  (exact Jaccard) only touches candidate pairs. This is the standard
+  shingle→minhash→band→bucket-join pipeline; at 10^12 docs the band join
+  is a shuffle on a well-distributed hash key and AQE handles bucket skew.
+- SimHash: 16-bit signatures via per-bit conditional sums in one groupBy;
+  near-dup candidates via two byte-band equi-joins (hamming<=k implies at
+  least one band matches for k<=... pigeonhole with 2 bands catches
+  hamming<=1 exactly; we verify with bit_count anyway).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_N_HASHES = 12
+DEFAULT_BANDS = 4  # rows per band = n_hashes // bands
+SIMHASH_BITS = 16
+_HEX = "0123456789abcdef"
+
+
+def tokens_column(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def shingles_column(text_col: str = "text", k: int = DEFAULT_SHINGLE_K) -> Column:
+    """k-gram token shingles; documents shorter than k tokens contribute the
+    whole text as a single shingle. Mirrored 1:1 by the oracle SQL."""
+    toks = tokens_column(text_col)
+    positions = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    k_gram = F.transform(
+        positions,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + offset) for offset in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, k_gram).otherwise(F.array(F.col(text_col)))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: keeper = min id per identical text.
+    Output: doc_id (keeper), n_copies — only groups with >1 copy."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select(id_col, "n_copies")
+    )
+
+
+def exact_dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deduplicated corpus: one row per distinct text, keeping min id.
+    Shuffles the md5 of the text, not the text itself, until the final
+    self-join — at 100 TB this halves shuffle bytes for long documents."""
+    keepers = df.select(F.md5(F.col(text_col)).alias("_h"), F.col(id_col)).groupBy("_h").agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[s] = min over distinct shingles of
+    md5('<s>#' || shingle). One explode + one aggregation pass with
+    ``n_hashes`` parallel min() columns (map-side combinable)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_column(text_col, shingle_k)).alias("shingle")
+    ).distinct()
+    aggregates = [
+        F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle")))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggregates)
+
+
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Signature → (doc, band, band_key) rows; band_key = md5 of the band's
+    concatenated minhashes."""
+    rows_per_band = n_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
+    band_rows = lsh_band_keys(
+        minhash_signature(df, id_col, text_col, n_hashes, shingle_k), id_col, n_hashes, bands
+    )
+    left = band_rows.select(
+        F.col(id_col).alias("doc_a"), "band", "band_key"
+    )
+    right = band_rows.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        left.join(right, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    threshold_milli: int = 800,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard, in integer
+    arithmetic (inter*1000 >= threshold_milli*union — no float hashing
+    hazards). Output: doc_a, doc_b, inter_size, union_size."""
+    shingle_sets = df.select(
+        F.col(id_col), F.array_distinct(shingles_column(text_col, shingle_k)).alias("sh")
+    )
+    a = shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size"))
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    threshold_milli: int = 800,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH candidates verified by exact
+    n-gram Jaccard."""
+    candidates = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_k)
+    return jaccard_verified_pairs(df, candidates, id_col, text_col, shingle_k, threshold_milli)
+
+
+def _hex_value(char_col: Column) -> Column:
+    # instr is 1-based; md5 output is lowercase hex
+    return F.instr(F.lit(_HEX), char_col) - 1
+
+
+def simhash_column(
+    text_col: str = "text", bits: int = SIMHASH_BITS
+) -> Column:
+    """SimHash over distinct tokens: bit j of md5's hex prefix votes ±1;
+    simhash bit j set iff the vote sum is positive. Uses only
+    cross-engine-identical primitives (md5 hex, substring, instr)."""
+    toks = F.array_distinct(tokens_column(text_col))
+    hashes = F.transform(toks, lambda w: F.md5(w))
+
+    # NB: Spark lambda params must be exactly the lambda's positional args
+    # (PySpark binds a Column to every parameter, including defaults), so
+    # per-bit constants are captured via factory closures.
+    def make_merge(digit_index: int, bit_in_digit: int):
+        def merge(acc: Column, h: Column) -> Column:
+            value = _hex_value(F.substring(h, digit_index, 1))
+            bit = F.floor(value / (2 ** bit_in_digit)) % 2
+            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return merge
+
+    bit_sums: List[Column] = []
+    for j in range(bits):
+        bit_sums.append(F.aggregate(hashes, F.lit(0), make_merge(j // 4 + 1, j % 4)))
+    return sum(
+        (F.when(bit_sums[j] > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(bits)),
+        F.lit(0),
+    ).cast("int")
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(F.col(id_col), simhash_column(text_col).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 1,
+) -> DataFrame:
+    """SimHash near-dups via byte-band blocking: with 2 bands over 16 bits,
+    any pair at hamming distance <= 1 shares at least one band (pigeonhole);
+    candidates are verified with bit_count(xor). Output: doc_a, doc_b,
+    hamming."""
+    sims = simhash_table(df, id_col, text_col)
+    banded = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("simhash") % 256).alias("key")),
+                F.struct(F.lit(1).alias("band"), F.floor(F.col("simhash") / 256).cast("int").alias("key")),
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key")
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_micro: int = 990_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs with cosine >= threshold
+    (micro-scaled integer compare). Brute-force pairwise — the baseline;
+    the LSH-bucketed scale path lives in ``operators.similarity``."""
+    from .similarity import cosine_micro
+
+    a = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("emb_a"))
+    b = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("emb_b"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a", "vec_b", cosine_micro(F.col("emb_a"), F.col("emb_b")).alias("cos_micro")
+    ).filter(F.col("cos_micro") >= threshold_micro)

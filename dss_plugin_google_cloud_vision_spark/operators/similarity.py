@@ -1,0 +1,141 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``brute_force_topk``: exact cosine top-k against a query vector — the
+  correctness baseline. One narrow pass over the table (the query vector is
+  a literal/broadcast), then a global top-k (TakeOrderedAndProject — no
+  full sort).
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH signatures
+  (hyperplanes derived deterministically from md5, so signatures are
+  reproducible across engines and runs); candidates = vectors sharing the
+  query's bucket in any band; exact cosine re-ranking only on candidates.
+  At 10^12 rows the bucket join prunes the candidate set by ~2^bits per
+  band while brute force would scan everything.
+
+All cosine arithmetic is double-precision left-fold (deterministic IEEE
+order), and comparisons/outputs use micro-scaled integers so results hash
+identically across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (norm(a) * norm(b))
+
+
+def cosine_micro(a: Column, b: Column) -> Column:
+    """Cosine similarity as a micro-scaled bigint (exact cross-engine
+    comparisons; avoids float value-hash hazards)."""
+    return F.round(cosine(a, b) * 1_000_000).cast("bigint")
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector; deterministic
+    tie-break on id. Output: vec_id, cos_micro, rank."""
+    from pyspark.sql import Window
+
+    query = F.array(*[F.lit(float(v)) for v in query_vector])
+    scored = df.select(
+        F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
+    )
+    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(dim: int, plane: int) -> List[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component d is a
+    signed value derived from md5('plane|dim') — reproducible everywhere,
+    no RNG state."""
+    components = []
+    for d in range(dim):
+        digest = hashlib.md5(f"hp:{plane}:{d}".encode()).hexdigest()
+        # map first 8 hex chars to [-1, 1)
+        value = int(digest[:8], 16) / 2**31 - 1.0
+        components.append(value)
+    return components
+
+
+def signature_bits(vec_col: Column, dim: int, n_planes: int) -> Column:
+    """Sign pattern of the vector against ``n_planes`` deterministic
+    hyperplanes, packed into an int (bit p set iff dot(vec, plane_p) > 0)."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bits.append(F.when(dot_product(vec_col, plane) > 0, F.lit(2**p)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("int")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's signature in at
+    least one band of hyperplane sign bits; exact cosine re-rank on the
+    candidate set only. Output: vec_id, cos_micro, rank."""
+    from pyspark.sql import Window
+
+    dim = len(query_vector)
+    planes_per_band = n_planes // n_bands
+    query = F.array(*[F.lit(float(v)) for v in query_vector])
+
+    def band_cols(vec: Column, prefix: str) -> List[Column]:
+        full = signature_bits(vec, dim, n_planes)
+        mask = (1 << planes_per_band) - 1
+        return [
+            (F.shiftright(full, b * planes_per_band).bitwiseAND(F.lit(mask))).alias(f"{prefix}{b}")
+            for b in range(n_bands)
+        ]
+
+    scored = df.select(F.col(id_col), F.col(vec_col), *band_cols(F.col(vec_col), "band"))
+    query_row = df.limit(1).select(*[c.alias(f"qband{i}") for i, c in enumerate(band_cols(query, "q"))])
+    with_query = scored.crossJoin(F.broadcast(query_row))
+    candidate_filter = None
+    for b in range(n_bands):
+        clause = F.col(f"band{b}") == F.col(f"qband{b}")
+        candidate_filter = clause if candidate_filter is None else (candidate_filter | clause)
+    candidates = with_query.filter(candidate_filter)
+    rescored = candidates.select(
+        F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
+    )
+    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,109 @@
+# -*- coding: utf-8 -*-
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, document fingerprinting, SQL-expressible language ID.
+
+All expressions are JVM-side and use cross-engine-identical primitives
+(length/split/md5/integer arithmetic) so every operator has an exact DuckDB
+oracle. The extraction-time language ID (``functions.langid``) is the
+heuristic used inside the Arrow stage; ``langid_stopword_column`` here is
+the same stopword-profile idea expressed relationally (argmax of hit
+counts with deterministic profile-order tie-break).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.langid import LANG_STOPWORDS
+
+BPE_ISH_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text_col))
+
+
+def regex_token_count(text_col: str = "text") -> Column:
+    """BPE-ish token count: alpha runs, digit runs, and single punctuation
+    marks each count as one token."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_TOKEN_REGEX), 0))
+
+
+def quality_columns(text_col: str = "text") -> Dict[str, Column]:
+    """Integer-scaled quality signals (milli-units where fractional):
+    length, token count, mean token length, stopword ratio (en profile),
+    non-alnum ratio. Compose downstream however the pipeline wants —
+    components stay exact for oracle checks."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    chars_no_space = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    en_stopwords = list(LANG_STOPWORDS["en"])
+    stopword_hits = F.size(F.filter(toks, lambda w: F.lower(w).isin(en_stopwords)))
+    non_alnum = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9 ]", ""))
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len_milli": F.when(
+            n_tokens > 0, F.round(chars_no_space * 1000 / n_tokens).cast("bigint")
+        ).otherwise(F.lit(0)),
+        "stopword_ratio_milli": F.when(
+            n_tokens > 0, F.round(stopword_hits * 1000 / n_tokens).cast("bigint")
+        ).otherwise(F.lit(0)),
+        "non_alnum_milli": F.when(
+            n_chars > 0, F.round(non_alnum * 1000 / n_chars).cast("bigint")
+        ).otherwise(F.lit(0)),
+    }
+
+
+def quality_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    columns = quality_columns(text_col)
+    return df.select(F.col(id_col), *[expr.alias(name) for name, expr in columns.items()])
+
+
+def fingerprint_column(text_col: str = "text") -> Column:
+    """Whole-document fingerprint (md5 of the exact text)."""
+    return F.md5(F.col(text_col))
+
+
+def shingle_fingerprint_column(text_col: str = "text", k: int = 5) -> Column:
+    """Content-defined fingerprint robust to document order: the minimum
+    md5 over k-gram token shingles (a 1-hash MinHash) — the rolling-hash
+    document fingerprint for near-dup blocking."""
+    from .dedup import shingles_column
+
+    return F.array_min(F.transform(shingles_column(text_col, k), lambda s: F.md5(s)))
+
+
+def langid_stopword_column(text_col: str = "text") -> Column:
+    """Relational language ID: argmax of stopword hits across the fixed
+    profiles, '' when nothing matches; ties break by profile order
+    (LANG_STOPWORDS insertion order) — same rule as the kernel langid."""
+    toks = tokens(text_col)
+
+    def make_predicate(stopword_list):
+        return lambda w: F.lower(w).isin(stopword_list)
+
+    best_code: Column = F.lit("")
+    best_hits: Column = F.lit(0)
+    for code, stopwords in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(toks, make_predicate(list(stopwords))))
+        is_better = hits > best_hits
+        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_code
+
+
+def langid_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        langid_stopword_column(text_col).alias("lang_detected"),
+    )

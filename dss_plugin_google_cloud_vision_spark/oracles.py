@@ -1,0 +1,249 @@
+# -*- coding: utf-8 -*-
+"""DuckDB oracle SQL builders for the dedup / similarity / textstats
+operators.
+
+Each builder mirrors its Spark operator definition 1:1 (same constants,
+same hash strings, same integer scaling) so the driver's side-by-side
+comparison is exact. SQL is generated programmatically from the SAME
+Python constants the Spark operators use (hash counts, band layout,
+stopword profiles, hyperplanes) — one definition, two engines.
+"""
+
+from __future__ import annotations
+
+from .functions.langid import LANG_STOPWORDS
+from .operators.dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_N_HASHES,
+    DEFAULT_SHINGLE_K,
+    SIMHASH_BITS,
+)
+from .operators.similarity import _hyperplane
+
+# Synthetic near-dup corpus: documents ∪ suffixed copies ∪ exact copies.
+# Mirrored by `build_dedup_corpus` in __spark_entry__.
+CORPUS_CTE = (
+    "corpus AS ("
+    " SELECT doc_id, text FROM documents"
+    " UNION ALL"
+    " SELECT doc_id + 100000 AS doc_id, text || ' zzz extra suffix token' AS text"
+    "  FROM documents WHERE doc_id % 20 = 0"
+    " UNION ALL"
+    " SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 25 = 0"
+    ")"
+)
+
+
+def shingle_cte(source: str = "corpus", k: int = DEFAULT_SHINGLE_K, name: str = "sh") -> str:
+    parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
+    return (
+        f"{name} AS ("
+        f" SELECT DISTINCT doc_id, shingle FROM ("
+        f"  SELECT doc_id, unnest(CASE WHEN len(tokens) >= {k}"
+        f"   THEN list_transform(generate_series(1, len(tokens)-{k - 1}), i -> {parts})"
+        f"   ELSE [text] END) AS shingle"
+        f"  FROM (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM {source})"
+        f" )"
+        f")"
+    )
+
+
+def exact_dedup_sql() -> str:
+    return (
+        f"WITH {CORPUS_CTE} "
+        "SELECT min(doc_id) AS doc_id, count(*) AS n_copies "
+        "FROM corpus GROUP BY text HAVING count(*) > 1"
+    )
+
+
+def _sig_cte(n_hashes: int = DEFAULT_N_HASHES) -> str:
+    mins = ", ".join(
+        f"min(md5('{s}#' || shingle)) AS h{s}" for s in range(n_hashes)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _bands_cte(n_hashes: int = DEFAULT_N_HASHES, bands: int = DEFAULT_BANDS) -> str:
+    rows_per_band = n_hashes // bands
+    selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def minhash_candidates_sql() -> str:
+    return (
+        f"WITH {CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()} "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b "
+        "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+    )
+
+
+def near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+    return (
+        f"WITH {CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        "cand AS ("
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM bands a JOIN bands b"
+        " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS ("
+        " SELECT c.doc_a, c.doc_b, count(*) AS inter_size"
+        " FROM cand c JOIN sh a ON a.doc_id = c.doc_a"
+        " JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
+        " GROUP BY c.doc_a, c.doc_b) "
+        "SELECT i.doc_a, i.doc_b, i.inter_size, sa.n + sb.n - i.inter_size AS union_size "
+        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b "
+        f"WHERE i.inter_size * 1000 >= {threshold_milli} * (sa.n + sb.n - i.inter_size)"
+    )
+
+
+def _simhash_ctes(source: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    vote_cols = []
+    for j in range(bits):
+        digit_index = j // 4 + 1
+        bit_in_digit = j % 4
+        value = f"(strpos('0123456789abcdef', substring(md5(w), {digit_index}, 1)) - 1)"
+        bit = f"cast(floor({value} / {2 ** bit_in_digit}) AS bigint) % 2"
+        vote_cols.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{j}")
+    bit_terms = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return (
+        f"tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM {source}), "
+        f"votes AS (SELECT doc_id, {', '.join(vote_cols)} FROM tok GROUP BY doc_id), "
+        f"sims AS (SELECT doc_id, cast({bit_terms} AS int) AS simhash FROM votes)"
+    )
+
+
+def simhash_sql(source: str = "documents") -> str:
+    return f"WITH {_simhash_ctes(source)} SELECT doc_id, simhash FROM sims"
+
+
+def simhash_near_dup_sql(max_hamming: int = 1) -> str:
+    return (
+        f"WITH {CORPUS_CTE}, {_simhash_ctes('corpus')}, "
+        "banded AS ("
+        " SELECT doc_id, simhash, 0 AS band, simhash % 256 AS key FROM sims"
+        " UNION ALL"
+        " SELECT doc_id, simhash, 1 AS band, cast(floor(simhash / 256) AS int) AS key FROM sims) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        " cast(bit_count(xor(cast(a.simhash AS bigint), cast(b.simhash AS bigint))) AS int) AS hamming "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(cast(a.simhash AS bigint), cast(b.simhash AS bigint))) <= {max_hamming}"
+    )
+
+
+DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def _cos_micro(a: str, b: str) -> str:
+    dot = DOT.format(a=a, b=b)
+    norm_a = f"sqrt({DOT.format(a=a, b=a)})"
+    norm_b = f"sqrt({DOT.format(a=b, b=b)})"
+    return f"cast(round(1000000 * ({dot}) / ({norm_a} * {norm_b})) AS bigint)"
+
+
+def ann_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
+    return (
+        f"WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        f"scored AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro "
+        "FROM embeddings, q) "
+        "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def embedding_near_dup_sql(threshold_micro: int = 990_000) -> str:
+    return (
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        + _cos_micro("a.embedding", "b.embedding")
+        + " AS cos_micro "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {_cos_micro('a.embedding', 'b.embedding')} >= {threshold_micro}"
+    )
+
+
+def lsh_ann_topk_sql(query_vec_id: int = 0, k: int = 10, n_planes: int = 8, n_bands: int = 2, dim: int = 64) -> str:
+    """Same deterministic hyperplanes as operators.similarity — constants
+    generated from one Python source."""
+    planes_per_band = n_planes // n_bands
+    mask = (1 << planes_per_band) - 1
+
+    def sig(vec: str) -> str:
+        terms = []
+        for p in range(n_planes):
+            plane = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+            terms.append(f"(CASE WHEN {DOT.format(a=vec, b=plane)} > 0 THEN {2 ** p} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    band_match = " OR ".join(
+        f"(cast(floor(sig / {1 << (b * planes_per_band)}) AS int) % {mask + 1} = "
+        f"cast(floor(qsig / {1 << (b * planes_per_band)}) AS int) % {mask + 1})"
+        for b in range(n_bands)
+    )
+    return (
+        f"WITH q AS (SELECT embedding AS qv, {sig('embedding')} AS qsig FROM embeddings WHERE vec_id = {query_vec_id}), "
+        f"scored AS (SELECT vec_id, {sig('embedding')} AS sig, embedding, qv, qsig FROM embeddings, q), "
+        f"cands AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro FROM scored WHERE {band_match}) "
+        "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM cands) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def token_count_sql() -> str:
+    return (
+        "SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens, "
+        "cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS bigint) AS n_regex_tokens "
+        "FROM documents"
+    )
+
+
+def quality_sql() -> str:
+    en_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return (
+        "SELECT doc_id, "
+        "cast(length(text) AS bigint) AS n_chars, "
+        "cast(len(string_split(text, ' ')) AS bigint) AS n_tokens, "
+        "cast(CASE WHEN len(string_split(text, ' ')) > 0 THEN "
+        " round(length(replace(text, ' ', '')) * 1000.0 / len(string_split(text, ' '))) ELSE 0 END AS bigint) AS mean_token_len_milli, "
+        "cast(CASE WHEN len(string_split(text, ' ')) > 0 THEN "
+        f" round(len(list_filter(string_split(text, ' '), w -> lower(w) IN ({en_list}))) * 1000.0 / len(string_split(text, ' '))) ELSE 0 END AS bigint) AS stopword_ratio_milli, "
+        "cast(CASE WHEN length(text) > 0 THEN "
+        " round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1000.0 / length(text)) ELSE 0 END AS bigint) AS non_alnum_milli "
+        "FROM documents"
+    )
+
+
+def fingerprint_sql(k: int = 5) -> str:
+    parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
+    return (
+        "SELECT doc_id, md5(text) AS doc_md5, "
+        f"list_min(list_transform(CASE WHEN len(tokens) >= {k}"
+        f" THEN list_transform(generate_series(1, len(tokens)-{k - 1}), i -> {parts})"
+        " ELSE [text] END, s -> md5(s))) AS shingle_fp "
+        "FROM (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents)"
+    )
+
+
+def langid_sql() -> str:
+    hit_cols = []
+    for code, stopwords in LANG_STOPWORDS.items():
+        words = ", ".join(f"'{w}'" for w in stopwords)
+        hit_cols.append(
+            f"len(list_filter(string_split(text, ' '), w -> lower(w) IN ({words}))) AS h_{code}"
+        )
+    greatest = "greatest(" + ", ".join(f"h_{c}" for c in LANG_STOPWORDS) + ")"
+    case = "CASE WHEN " + greatest + " = 0 THEN '' "
+    for code in LANG_STOPWORDS:
+        case += f"WHEN h_{code} = {greatest} THEN '{code}' "
+    case += "END"
+    return (
+        f"SELECT doc_id, {case} AS lang_detected FROM ("
+        f" SELECT doc_id, {', '.join(hit_cols)} FROM documents)"
+    )

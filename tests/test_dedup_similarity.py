@@ -1,0 +1,86 @@
+# -*- coding: utf-8 -*-
+"""Semantic tests for dedup / similarity / textstats: planted duplicates
+must be found; LSH must agree with brute force on this data; signatures are
+deterministic."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep_first,
+    minhash_candidate_pairs,
+    near_dup_pairs,
+    simhash_table,
+)
+from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+    langid_table,
+    quality_table,
+)
+
+
+def _corpus(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "a completely different document about gardens markets and stone windows"),
+        (3, "music paper animals and rivers flow through the small market town"),
+    ]
+    rows = list(base)
+    rows.append((101, base[0][1]))  # exact duplicate of 1
+    rows.append((102, base[0][1] + " extra"))  # near duplicate of 1
+    rows.append((103, "totally unrelated text with unique vocabulary zebra quartz")),
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_finds_planted_duplicate(spark):
+    df = _corpus(spark)
+    groups = {r["doc_id"]: r["n_copies"] for r in exact_dedup_groups(df).collect()}
+    assert groups == {1: 2}
+    kept = {r["doc_id"] for r in exact_dedup_keep_first(df).collect()}
+    assert 101 not in kept and 1 in kept and len(kept) == 5
+
+
+def test_minhash_near_dup_finds_planted_pair(spark):
+    df = _corpus(spark)
+    candidates = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(df).collect()}
+    assert (1, 101) in candidates  # exact dup always shares all bands
+    verified = {(r["doc_a"], r["doc_b"]) for r in near_dup_pairs(df, threshold_milli=700).collect()}
+    assert (1, 101) in verified
+    assert (1, 102) in verified  # near dup passes jaccard at 0.7
+    assert (1, 2) not in verified and (2, 3) not in verified
+
+
+def test_simhash_identical_texts_equal(spark):
+    df = _corpus(spark)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
+    assert sims[1] == sims[101]
+    assert 0 <= sims[1] < 2**16
+    # different text, different vocabulary → different signature
+    assert sims[1] != sims[103]
+
+
+def test_lsh_topk_contains_brute_force_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    brute = brute_force_topk(emb, query, k=5).collect()
+    assert brute[0]["vec_id"] == 0 and brute[0]["cos_micro"] == 1_000_000
+    lsh = {r["vec_id"] for r in lsh_bucketed_topk(emb, query, k=5).collect()}
+    # the query vector itself always lands in its own bucket
+    assert 0 in lsh
+
+
+def test_quality_and_langid_basics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, ""), (3, "le chat et la fenêtre dans le jardin")],
+        "doc_id int, text string",
+    )
+    quality = {r["doc_id"]: r for r in quality_table(df).collect()}
+    assert quality[1]["n_tokens"] == 5
+    assert quality[1]["stopword_ratio_milli"] == 600  # the, and, the → 3/5
+    langs = {r["doc_id"]: r["lang_detected"] for r in langid_table(df).collect()}
+    assert langs[1] == "en"
+    assert langs[3] == "fr"
+    assert langs[2] == ""
