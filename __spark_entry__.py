@@ -349,6 +349,19 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (the batch shape of the
+    streaming windowed_host_counts operator): events per type per day."""
+    events = _table(spark, sf_dir, "events")
+    return events.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("value_milli_sum"),
+    )
+
+
 def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.textstats import langid_table
 
@@ -380,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_stats": q_quality_stats,
         "fingerprints": q_fingerprints,
         "langid_stopword": q_langid_stopword,
+        "event_windows": q_event_windows,
     }
 
 
@@ -463,4 +477,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "langid_stopword": _oracles.langid_sql(),
+        "event_windows": (
+            "SELECT cast(date_trunc('day', ts) AS date) AS day, event_type, "
+            "count(*) AS n_events, "
+            "sum(cast(round(value * 1000) AS bigint)) AS value_milli_sum "
+            "FROM events GROUP BY 1, 2"
+        ),
     }

@@ -47,6 +47,11 @@ SCRIPT_RANGES: Tuple[Tuple[str, int, int], ...] = (
 
 _TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
+# precomputed for the hot path (semantically identical to per-call sets)
+_STOPWORD_SETS: Tuple[Tuple[str, frozenset], ...] = tuple(
+    (code, frozenset(words)) for code, words in LANG_STOPWORDS.items()
+)
+
 
 def guess_language(text: str) -> Tuple[str, float]:
     """Return (language_code, confidence in [0,1]) for ``text``.
@@ -62,22 +67,29 @@ def guess_language(text: str) -> Tuple[str, float]:
     """
     if not text:
         return "", 0.0
-    chars = [c for c in text if not c.isspace()]
-    if not chars:
+    # ASCII text cannot fall in any non-Latin script range — skip the scan
+    # (identical result, this is the dominant case for web text)
+    if not text.isascii():
+        chars = [c for c in text if not c.isspace()]
+        if not chars:
+            return "", 0.0
+        n_chars = len(chars)
+        for code, lo, hi in SCRIPT_RANGES:
+            in_range = sum(1 for c in chars if lo <= ord(c) <= hi)
+            fraction = in_range / n_chars
+            if fraction >= 0.30:
+                return code, round(fraction, 4)
+    elif not text.strip():
         return "", 0.0
-    n_chars = len(chars)
-    for code, lo, hi in SCRIPT_RANGES:
-        in_range = sum(1 for c in chars if lo <= ord(c) <= hi)
-        fraction = in_range / n_chars
-        if fraction >= 0.30:
-            return code, round(fraction, 4)
     tokens = [t.lower() for t in _TOKEN_RE.findall(text)]
     if not tokens:
         return "", 0.0
+    from collections import Counter
+
+    counts = Counter(tokens)
     best_code, best_hits = "", 0
-    for code, stopwords in LANG_STOPWORDS.items():
-        stopword_set = set(stopwords)
-        hits = sum(1 for t in tokens if t in stopword_set)
+    for code, stopword_set in _STOPWORD_SETS:
+        hits = sum(n for t, n in counts.items() if t in stopword_set)
         if hits > best_hits:
             best_code, best_hits = code, hits
     if best_hits == 0:

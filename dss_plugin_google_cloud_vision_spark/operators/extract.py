@@ -159,6 +159,7 @@ def extract(
     function: Callable,
     exceptions: ExceptionSpec,
     column_prefix: str,
+    parallel_workers: Optional[int] = None,  # accepted for drop-in parity; Spark schedules
     batch_support: bool = DEFAULT_BATCH_SUPPORT,
     batch_size: int = DEFAULT_BATCH_SIZE,
     error_handling: ErrorHandling = ErrorHandling.LOG,

@@ -83,27 +83,35 @@ def shingle_fingerprint_column(text_col: str = "text", k: int = 5) -> Column:
     return F.array_min(F.transform(shingles_column(text_col, k), lambda s: F.md5(s)))
 
 
-def langid_stopword_column(text_col: str = "text") -> Column:
-    """Relational language ID: argmax of stopword hits across the fixed
-    profiles, '' when nothing matches; ties break by profile order
-    (LANG_STOPWORDS insertion order) — same rule as the kernel langid."""
+def langid_hit_columns(text_col: str = "text") -> Dict[str, Column]:
+    """Per-profile stopword hit counts (one filter+size per profile)."""
     toks = tokens(text_col)
 
     def make_predicate(stopword_list):
         return lambda w: F.lower(w).isin(stopword_list)
 
-    best_code: Column = F.lit("")
-    best_hits: Column = F.lit(0)
-    for code, stopwords in LANG_STOPWORDS.items():
-        hits = F.size(F.filter(toks, make_predicate(list(stopwords))))
-        is_better = hits > best_hits
-        best_code = F.when(is_better, F.lit(code)).otherwise(best_code)
-        best_hits = F.when(is_better, hits).otherwise(best_hits)
-    return best_code
+    return {
+        f"_hits_{code}": F.size(F.filter(toks, make_predicate(list(stopwords))))
+        for code, stopwords in LANG_STOPWORDS.items()
+    }
 
 
 def langid_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(
-        F.col(id_col),
-        langid_stopword_column(text_col).alias("lang_detected"),
-    )
+    """Relational language ID: argmax of stopword hits across the fixed
+    profiles, '' when nothing matches; ties break by profile order
+    (LANG_STOPWORDS insertion order) — same rule as the kernel langid.
+
+    Hit counts are materialized as columns FIRST, then the argmax is a
+    chain of whens over plain column references — a naive inline chain
+    duplicates every hits subtree into each branch (expression-tree blowup:
+    ~100x slower measured at sf0.1)."""
+    hits = langid_hit_columns(text_col)
+    with_hits = df.withColumns(hits)
+    best = F.greatest(*[F.col(name) for name in hits])
+    expr: Column = F.lit("")
+    # build the CASE from the LAST profile backwards so evaluation order is
+    # first-profile-wins, matching the kernel's tie-break
+    for code in reversed(list(LANG_STOPWORDS)):
+        expr = F.when(F.col(f"_hits_{code}") == best, F.lit(code)).otherwise(expr)
+    expr = F.when(best == 0, F.lit("")).otherwise(expr)
+    return with_hits.select(F.col(id_col), expr.alias("lang_detected"))

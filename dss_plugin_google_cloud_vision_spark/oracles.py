@@ -159,12 +159,18 @@ def ann_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
 
 
 def embedding_near_dup_sql(threshold_micro: int = 990_000) -> str:
+    # mirrors operators.dedup.embedding_near_dup_pairs: L2-normalize once,
+    # one dot per pair; identical double op order → identical bits
+    pair_dot = DOT.format(a="a.e", b="b.e")
     return (
+        "WITH normed AS ("
+        " SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS e"
+        " FROM (SELECT vec_id, embedding,"
+        f"  sqrt({DOT.format(a='embedding', b='embedding')}) AS n FROM embeddings)) "
         "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        + _cos_micro("a.embedding", "b.embedding")
-        + " AS cos_micro "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE {_cos_micro('a.embedding', 'b.embedding')} >= {threshold_micro}"
+        f"cast(round({pair_dot} * 1000000) AS bigint) AS cos_micro "
+        "FROM normed a JOIN normed b ON a.vec_id < b.vec_id "
+        f"WHERE cast(round({pair_dot} * 1000000) AS bigint) >= {threshold_micro}"
     )
 
 

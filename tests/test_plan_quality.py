@@ -1,0 +1,86 @@
+# -*- coding: utf-8 -*-
+"""Plan-quality tests: the things that matter at 100 TB — predicate
+pushdown, column pruning, no accidental shuffles, broadcast joins —
+asserted on the actual physical plans."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages
+from dss_plugin_google_cloud_vision_spark.sources.pages import pages_df
+from dss_plugin_google_cloud_vision_spark.sources.sinks import (
+    read_column_descriptions,
+    write_output,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, tmp_path):
+    path = str(tmp_path / "pages")
+    pages_df(spark, 64, partitions=2).write.parquet(path)
+    stored = spark.read.parquet(path)
+    filtered = stored.filter(F.col("lang") == "en").select("url", "lang")
+    plan = _plan(filtered)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan
+    assert "html" not in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_column_pruning_resume_scan(spark, tmp_path):
+    """The resume anti-join must read ONLY the key column of the snapshot."""
+    path = str(tmp_path / "snapshot")
+    extract_pages(pages_df(spark, 32, partitions=2), drop_payload=True).write.parquet(path)
+    from dss_plugin_google_cloud_vision_spark.operators.resume import remaining_inputs
+
+    todo = remaining_inputs(pages_df(spark, 48, partitions=2), spark, path, "url")
+    plan = _plan(todo)
+    scans = plan.split("ReadSchema: ")[1:]
+    assert any(s.startswith("struct<url:string>") for s in scans), plan
+
+
+def test_anti_join_is_broadcast(spark, tmp_path):
+    path = str(tmp_path / "snapshot2")
+    extract_pages(pages_df(spark, 32, partitions=2), drop_payload=True).write.parquet(path)
+    from dss_plugin_google_cloud_vision_spark.operators.resume import remaining_inputs
+
+    todo = remaining_inputs(pages_df(spark, 48, partitions=2), spark, path, "url")
+    plan = _plan(todo)
+    # small done-set → AQE/broadcast anti join, no sort-merge
+    assert "BroadcastHashJoin" in plan or "AdaptiveSparkPlan" in plan, plan
+
+
+def test_extraction_stage_has_no_exchange(spark):
+    out = extract_pages(pages_df(spark, 32, partitions=4), drop_payload=True)
+    assert "Exchange" not in _plan(out)
+
+
+def test_pipeline_single_shuffle(spark):
+    from dss_plugin_google_cloud_vision_spark.plans.extract_pipeline import (
+        run_extraction_pipeline,
+    )
+
+    plan_result = run_extraction_pipeline(pages_df(spark, 32, partitions=4))
+    page_plan = _plan(plan_result.pages)
+    assert "Exchange" not in page_plan, page_plan
+    doc_plan = _plan(plan_result.documents)
+    assert doc_plan.count("Exchange hashpartitioning") <= 1, doc_plan
+
+
+def test_formatter_stays_in_codegen(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import (
+        format_text_detection,
+    )
+
+    df = spark.createDataFrame([("{}",)], "response string")
+    plan = _plan(format_text_detection(df, "response").df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_output_sidecar_descriptions(spark, tmp_path):
+    target = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "x")], "id int, value string")
+    write_output(df, target, {"id": "row id"}, {"value": "from input"})
+    back = read_column_descriptions(spark, target)
+    assert back == {"id": "row id", "value": "from input"}
+    assert spark.read.parquet(target).count() == 1

@@ -1,0 +1,95 @@
+# -*- coding: utf-8 -*-
+"""Property-based tests (hypothesis) for the extraction kernels: the
+extractor must be total over arbitrary UTF-8 input (html.parser leniency),
+spans must always be consistent with the output text, and split/merge must
+round-trip. No Spark — pure kernel properties."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dss_plugin_google_cloud_vision_spark.errors import (
+    DocumentSplitError,
+    ExtractionError,
+)
+from dss_plugin_google_cloud_vision_spark.functions.html_extract import extract_html
+from dss_plugin_google_cloud_vision_spark.functions.langid import (
+    LANG_STOPWORDS,
+    SCRIPT_RANGES,
+    guess_language,
+)
+from dss_plugin_google_cloud_vision_spark.functions.pdf_extract import (
+    merge_pdf_pages,
+    split_pdf_pages,
+)
+from dss_plugin_google_cloud_vision_spark.operators.pages import extract_document
+from dss_plugin_google_cloud_vision_spark.sources.pages import expected_page, make_page
+
+VALID_CODES = set(LANG_STOPWORDS) | {code for code, _, _ in SCRIPT_RANGES} | {""}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=1, max_size=2000))
+def test_extractor_total_over_arbitrary_text(markup):
+    """Any UTF-8 text (however broken as HTML) either extracts or raises
+    ExtractionError — never crashes, never emits inconsistent spans."""
+    payload = markup.encode("utf-8")
+    result = extract_html(payload)
+    for kind, start, end, block_id in result.spans:
+        assert 0 <= start <= end <= len(result.text)
+        piece = result.text[start:end]
+        assert piece == piece.strip()
+        assert kind in ("heading", "paragraph")
+    # determinism
+    again = extract_html(payload)
+    assert again.text == result.text and again.spans == result.spans
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=512))
+def test_extract_document_total_over_binary(payload):
+    """Arbitrary bytes: either pages come back or a captured error type is
+    raised — exactly the two outcomes the extraction stage handles."""
+    try:
+        results = extract_document(payload)
+    except (ExtractionError, DocumentSplitError):
+        return
+    assert results
+    for page_number, response in results:
+        parsed = json.loads(response)
+        assert "fullTextAnnotation" in parsed
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_langid_contract(text):
+    code, confidence = guess_language(text)
+    assert code in VALID_CODES
+    assert 0.0 <= confidence <= 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=5000))
+def test_datagen_pdf_round_trip(i):
+    expected = expected_page(i)
+    if expected["kind"] != "pdf":
+        return
+    payload = make_page(i)["html"]
+    pages = split_pdf_pages(payload)
+    assert len(pages) == expected["page_count"]
+    assert merge_pdf_pages(pages) == bytes(payload)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(min_value=0, max_value=100000))
+def test_datagen_total_and_consistent(i):
+    """Every row id, at any scale, generates and (if not an error row)
+    extracts to exactly its analytic expectation."""
+    expected = expected_page(i)
+    page = make_page(i)
+    if expected["is_error"]:
+        return
+    results = extract_document(page["html"])
+    texts = [json.loads(r)["fullTextAnnotation"]["text"] for _, r in results]
+    assert texts == expected["page_texts"]
