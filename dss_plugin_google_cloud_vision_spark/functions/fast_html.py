@@ -1,0 +1,202 @@
+# -*- coding: utf-8 -*-
+"""Fast HTML tokenizer — a single-feed transcription of the stdlib
+``html.parser`` tokenization (CPython 3.11) driving the same handlers,
+without incremental-feed buffering or line/column tracking (``updatepos``
+and the re-entrant ``goahead`` machinery are the stdlib's dominant cost).
+
+Fidelity strategy: every tag-shaped decision reuses the stdlib's OWN
+compiled regexes (``locatestarttagend_tolerant``, ``tagfind_tolerant``,
+``attrfind_tolerant``, ``endtagfind``, ``commentclose``) and transcribes
+the corresponding branch of ``HTMLParser.goahead`` / ``parse_starttag`` /
+``parse_endtag`` / ``parse_html_declaration`` for the single-feed,
+``convert_charrefs=True`` case the extractor uses. CDATA (script/style)
+content is raw and ends only at a well-formed ``</elem␣*>`` exactly like
+3.11's ``set_cdata_mode`` pattern; unterminated CDATA swallows the rest.
+
+One deliberate deviation: the stdlib RAISES (``NotImplementedError`` from
+``_markupbase``) on unknown marked sections like ``<![foo]>``; this
+tokenizer is total and consumes them as bogus comments. The equivalence
+suite (tests/test_fast_html_equivalence.py) fuzzes both engines and skips
+only inputs where the stdlib itself errors.
+
+Data-chunk boundaries may differ from the stdlib; the block collector
+concatenates segments before whitespace normalization, so extraction
+output is identical (asserted, not assumed).
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import (
+    attrfind_tolerant,
+    commentclose,
+    endtagfind,
+    locatestarttagend_tolerant,
+    tagfind_tolerant,
+)
+
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_MARKED_CLOSE = re.compile(r"]\s*>")
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_CDATA_ELEMENTS = ("script", "style")
+_CDATA_CLOSE = {
+    elem: re.compile(r"</\s*%s\s*>" % elem, re.IGNORECASE) for elem in _CDATA_ELEMENTS
+}
+_ALNUM_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+
+
+def tokenize(markup: str, handler) -> None:
+    """Emit starttag/endtag/startendtag/data events into ``handler``."""
+    n = len(markup)
+    i = 0
+    find = markup.find
+    startswith = markup.startswith
+    handle_data = handler.handle_data
+
+    def emit(chunk: str) -> None:
+        if chunk:
+            handle_data(unescape(chunk) if "&" in chunk else chunk)
+
+    def recover(pos: int) -> int:
+        """stdlib goahead end-of-feed recovery for an incomplete construct
+        at ``pos``: emit up to the next '>' (inclusive) or next '<'
+        (exclusive) or one char, as data."""
+        k = find(">", pos + 1)
+        if k < 0:
+            k = find("<", pos + 1)
+            if k < 0:
+                k = pos + 1
+        else:
+            k += 1
+        emit(markup[pos:k])
+        return k
+
+    cdata_elem = None  # inside <script>/<style>
+
+    while i < n:
+        if cdata_elem is None:
+            lt = find("<", i)
+            if lt < 0:
+                emit(markup[i:])
+                break
+            emit(markup[i:lt])
+            i = lt
+        else:
+            close = _CDATA_CLOSE[cdata_elem].search(markup, i)
+            if close is None:
+                break  # stdlib swallows unterminated CDATA content
+            if close.start() > i:
+                handle_data(markup[i : close.start()])  # raw
+            i = close.start()
+            # fall through: the match is a well-formed end tag at i
+
+        nxt = markup[i + 1 : i + 2]
+        if nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):
+            # --- parse_starttag / check_for_whole_start_tag ---
+            m = locatestarttagend_tolerant.match(markup, i)
+            j = m.end()
+            after = markup[j : j + 1]
+            if after == ">":
+                endpos = j + 1
+            elif after == "/":
+                endpos = j + 2 if startswith("/>", j) else -1
+            elif after == "":
+                endpos = -1
+            elif after in _ALNUM_EQ_SLASH:
+                endpos = -1
+            else:
+                endpos = j if j > i else i + 1
+            if endpos < 0:
+                i = recover(i)
+                continue
+            name_match = tagfind_tolerant.match(markup, i + 1)
+            tag = name_match.group(1).lower()
+            k = name_match.end()
+            while k < endpos:
+                attr = attrfind_tolerant.match(markup, k)
+                if not attr:
+                    break
+                k = attr.end()
+            end = markup[k:endpos].strip()
+            if end not in (">", "/>"):
+                handle_data(markup[i:endpos])  # bogus start tag: raw data
+                i = endpos
+                continue
+            if end.endswith("/>"):
+                handler.handle_startendtag(tag, [])
+            else:
+                handler.handle_starttag(tag, [])
+                if tag in _CDATA_ELEMENTS:
+                    cdata_elem = tag
+            i = endpos
+        elif nxt == "/":
+            # --- parse_endtag ---
+            gt = find(">", i + 1)
+            if gt < 0:
+                i = recover(i)
+                continue
+            gtpos = gt + 1
+            m = endtagfind.match(markup, i)
+            if m:
+                elem = m.group(1).lower()
+                if cdata_elem is not None and elem != cdata_elem:
+                    handle_data(markup[i:gtpos])  # raw
+                    i = gtpos
+                    continue
+                handler.handle_endtag(elem)
+                cdata_elem = None
+                i = gtpos
+                continue
+            if cdata_elem is not None:
+                handle_data(markup[i:gtpos])  # raw
+                i = gtpos
+                continue
+            name_match = tagfind_tolerant.match(markup, i + 2)
+            if not name_match:
+                if markup[i : i + 3] == "</>":
+                    i = i + 3
+                    continue
+                # bogus comment: consume to '>'
+                pos = find(">", i + 2)
+                if pos == -1:
+                    i = recover(i)
+                else:
+                    i = pos + 1
+                continue
+            handler.handle_endtag(name_match.group(1).lower())
+            i = find(">", name_match.end()) + 1
+        elif nxt == "!":
+            # --- parse_html_declaration ---
+            if startswith("<!--", i):
+                close = commentclose.search(markup, i + 4)
+                i = recover(i) if close is None else close.end()
+            elif startswith("<![", i):
+                name_match = _DECLNAME.match(markup, i + 3)
+                sect = name_match.group().lower().strip() if name_match else None
+                if sect in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    close = _MARKED_CLOSE.search(markup, i + 3)
+                elif sect in ("if", "else", "endif"):
+                    close = _MS_MARKED_CLOSE.search(markup, i + 3)
+                else:
+                    # stdlib raises here; stay total: bogus-comment consume
+                    pos = find(">", i + 2)
+                    i = recover(i) if pos == -1 else pos + 1
+                    continue
+                i = recover(i) if close is None else close.end()
+            elif markup[i : i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+                i = recover(i) if gt < 0 else gt + 1
+            else:
+                pos = find(">", i + 2)
+                i = recover(i) if pos == -1 else pos + 1
+        elif nxt == "?":
+            gt = find(">", i + 2)
+            i = recover(i) if gt < 0 else gt + 1
+        else:
+            if i + 1 < n:
+                handle_data("<")
+                i += 1
+            else:
+                emit(markup[i:])  # trailing lone '<'
+                break

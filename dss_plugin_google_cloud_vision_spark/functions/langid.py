@@ -70,13 +70,25 @@ def guess_language(text: str) -> Tuple[str, float]:
     # ASCII text cannot fall in any non-Latin script range — skip the scan
     # (identical result, this is the dominant case for web text)
     if not text.isascii():
-        chars = [c for c in text if not c.isspace()]
-        if not chars:
+        # single pass; ranges are disjoint and all start at >= 0x370, so
+        # accented-Latin chars (< 0x370) are skipped cheaply — result is
+        # identical to the per-range scan
+        counts = [0] * len(SCRIPT_RANGES)
+        n_chars = 0
+        for c in text:
+            if c.isspace():
+                continue
+            n_chars += 1
+            o = ord(c)
+            if o >= 0x0370:
+                for idx, (_code, lo, hi) in enumerate(SCRIPT_RANGES):
+                    if lo <= o <= hi:
+                        counts[idx] += 1
+                        break
+        if n_chars == 0:
             return "", 0.0
-        n_chars = len(chars)
-        for code, lo, hi in SCRIPT_RANGES:
-            in_range = sum(1 for c in chars if lo <= ord(c) <= hi)
-            fraction = in_range / n_chars
+        for idx, (code, _lo, _hi) in enumerate(SCRIPT_RANGES):
+            fraction = counts[idx] / n_chars
             if fraction >= 0.30:
                 return code, round(fraction, 4)
     elif not text.strip():
