@@ -119,6 +119,19 @@ def q_doc_merge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "page_count", "doc_text")
 
 
+def q_extract_pdf_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-path byte-identity: two-page layout payloads with blocks written
+    out of reading order; the pipeline must split pages, restore layout
+    order and merge back to part1\\npart2\\fpart3 of documents.text."""
+    from dss_plugin_google_cloud_vision_spark.sources.render import documents_as_pdf_pages
+
+    pages = documents_as_pdf_pages(_table(spark, sf_dir, "documents"))
+    plan = run_extraction_pipeline(pages)
+    return plan.documents.join(pages.select("url", "doc_id"), "url").select(
+        "doc_id", "page_count", F.col("doc_text").alias("extracted_text")
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 top-k: top 3 lineitems per returnflag by price, deterministic
     tie-break."""
@@ -374,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_error_metrics": q_extract_error_metrics,
         "extract_lang_chars": q_extract_lang_chars,
         "doc_merge_roundtrip": q_doc_merge_roundtrip,
+        "extract_pdf_identity": q_extract_pdf_identity,
         "topk_per_group": q_topk_per_group,
         "argmax_supplier": q_argmax_supplier,
         "extension_filter": q_extension_filter,
@@ -419,6 +433,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_merge_roundtrip": (
             "SELECT doc_id, 1 AS page_count, text AS doc_text FROM documents"
+        ),
+        "extract_pdf_identity": (
+            "SELECT doc_id, 2 AS page_count, "
+            "array_to_string(toks[1:n1], ' ') || chr(10) || "
+            "array_to_string(toks[n1+1:n1+n2], ' ') || chr(12) || "
+            "array_to_string(toks[n1+n2+1:n], ' ') AS extracted_text "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
+            " len(string_split(text, ' ')) AS n, "
+            " cast(floor(len(string_split(text, ' ')) / 3) AS int) AS n1, "
+            " cast(floor(len(string_split(text, ' ')) / 3) AS int) AS n2 "
+            " FROM documents)"
         ),
         "topk_per_group": (
             "SELECT l_returnflag, l_orderkey, l_linenumber, "

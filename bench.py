@@ -29,7 +29,7 @@ if REPO_ROOT not in _pythonpath.split(os.pathsep):
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "80000"))
 
 
 def main():
@@ -40,7 +40,17 @@ def main():
     from dss_plugin_google_cloud_vision_spark.session import get_spark
     from dss_plugin_google_cloud_vision_spark.sources.pages import pages_df
 
-    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=str(CPUS))
+    spark = get_spark(
+        app_name="bench",
+        cores=CPUS,
+        shuffle_partitions=str(CPUS),
+        # the generated pages parquet is small; default 128MB splits would
+        # leave most cores idle during the throughput measurement
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
 
     timings = {}
     total = 0.0

@@ -39,6 +39,41 @@ def _escape_html(col: Column) -> Column:
     return F.regexp_replace(escaped, ">", "&gt;")
 
 
+def documents_as_pdf_pages(documents: DataFrame) -> DataFrame:
+    """documents → pages whose payloads are TWO-PAGE ``%PDF-`` layout
+    documents with blocks emitted OUT of reading order: page 1 holds the
+    first two thirds of the text as two blocks written y-reversed, page 2
+    the last third. Ground truth (SQL-computable): page-1 text =
+    part1 || '\\n' || part2 (layout sort restores order), document text =
+    page1 || '\\f' || page2."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n1 = F.floor(n / 3).cast("int")
+    n2 = F.floor(n / 3).cast("int")
+    part1 = F.array_join(F.slice(toks, 1, n1), " ")
+    part2 = F.array_join(F.slice(toks, n1 + 1, n2), " ")
+    part3 = F.array_join(F.slice(toks, n1 + n2 + 1, n - n1 - n2), " ")
+    payload = F.format_string(
+        "%%PDF-FAKE 1.0\nPAGE 1\n"
+        "BLOCK id=1 y=200 x=0\n%s\nENDBLOCK\n"
+        "BLOCK id=0 y=100 x=0\n%s\nENDBLOCK\n"
+        "ENDPAGE\nPAGE 2\n"
+        "BLOCK id=2 y=0 x=0\n%s\nENDBLOCK\n"
+        "ENDPAGE\n%%%%EOF\n",
+        part2,
+        part1,
+        part3,
+    )
+    return documents.select(
+        F.format_string("https://docs.example.org/%s/doc-%s.pdf", F.col("lang"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_SECONDS) + F.col("doc_id") * 137).alias("warc_ts"),
+        F.encode(payload, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
 def documents_as_pages(documents: DataFrame, error_mod: int = 0) -> DataFrame:
     """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text,
     lang, doc_id). With ``error_mod`` > 0, every ``doc_id % error_mod == 0``
