@@ -362,6 +362,31 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: render (with planted exact
+    duplicates) → extract → quality gate (>=20 tokens) → exact dedup
+    keep-first → (doc_id, lang, n_tokens). Oracle-checkable because
+    extraction recovers text byte-identically."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import exact_dedup_keep_first
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    )
+    pages = documents_as_pages(docs.unionAll(copies))
+    plan = run_extraction_pipeline(pages)
+    extracted = plan.pages.filter(F.col("content_api_error_message") == "").select(
+        "doc_id",
+        "lang",
+        F.col("content_api_detections_concat").alias("etext"),
+    )
+    quality_gated = extracted.withColumn("n_tokens", F.size(F.split("etext", " "))).filter(
+        F.col("n_tokens") >= 20
+    )
+    deduped = exact_dedup_keep_first(quality_gated, id_col="doc_id", text_col="etext")
+    return deduped.select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (the batch shape of the
     streaming windowed_host_counts operator): events per type per day."""
@@ -408,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "langid_stopword": q_langid_stopword,
         "event_windows": q_event_windows,
+        "training_pipeline": q_training_pipeline,
     }
 
 
@@ -502,6 +528,18 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "langid_stopword": _oracles.langid_sql(),
+        "training_pipeline": (
+            "WITH corpus AS ("
+            " SELECT doc_id, text, lang FROM documents"
+            " UNION ALL"
+            " SELECT doc_id + 200000 AS doc_id, text, lang FROM documents WHERE doc_id % 25 = 0), "
+            "gated AS ("
+            " SELECT doc_id, text, lang, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens"
+            " FROM corpus WHERE len(string_split(text, ' ')) >= 20), "
+            "keepers AS (SELECT text, min(doc_id) AS keep FROM gated GROUP BY text) "
+            "SELECT g.doc_id, g.lang, g.n_tokens FROM gated g "
+            "JOIN keepers k ON g.text = k.text AND g.doc_id = k.keep"
+        ),
         "event_windows": (
             "SELECT cast(date_trunc('day', ts) AS date) AS day, event_type, "
             "count(*) AS n_events, "
