@@ -37,8 +37,37 @@ from dss_plugin_google_cloud_vision_spark.sources.render import documents_as_pag
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+_PYFILES_SESSIONS: set = set()
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Python workers must be able to import the engine package. If the
+    driver created its session before this module set PYTHONPATH, the
+    worker daemon may lack /root/repo — ship the package via addPyFile
+    (idempotent per session)."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SESSIONS:
+        return
+    _PYFILES_SESSIONS.add(key)
+    import zipfile
+
+    pkg_zip = "/tmp/spark_webtext_engine_entry.zip"
+    if not os.path.exists(pkg_zip):
+        pkg_root = os.path.join(REPO_ROOT, "dss_plugin_google_cloud_vision_spark")
+        with zipfile.ZipFile(pkg_zip, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirs, filenames in os.walk(pkg_root):
+                for filename in filenames:
+                    if filename.endswith(".py"):
+                        full = os.path.join(dirpath, filename)
+                        zf.write(full, os.path.relpath(full, REPO_ROOT))
+    try:
+        spark.sparkContext.addPyFile(pkg_zip)
+    except Exception:  # noqa: BLE001 — e.g. Connect sessions; PYTHONPATH fallback applies
+        pass
+
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -387,6 +416,18 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
 
 
+def q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: events.event_type is a hot key
+    (6 values over the whole table); partial agg on (key, salt) then final
+    agg on key must equal a direct GROUP BY."""
+    events = _table(spark, sf_dir, "events")
+    salted = events.select(
+        "event_type", F.pmod(F.xxhash64("event_id"), F.lit(16)).alias("salt")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(F.count("*").alias("partial_rows"))
+    return partial.groupBy("event_type").agg(F.sum("partial_rows").alias("n_events"))
+
+
 def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (the batch shape of the
     streaming windowed_host_counts operator): events per type per day."""
@@ -434,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_stopword": q_langid_stopword,
         "event_windows": q_event_windows,
         "training_pipeline": q_training_pipeline,
+        "skew_two_phase": q_skew_two_phase,
     }
 
 
@@ -528,6 +570,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "langid_stopword": _oracles.langid_sql(),
+        "skew_two_phase": (
+            "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"
+        ),
         "training_pipeline": (
             "WITH corpus AS ("
             " SELECT doc_id, text, lang FROM documents"
