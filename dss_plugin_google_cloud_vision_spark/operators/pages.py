@@ -82,6 +82,160 @@ def extract_document(payload: Optional[bytes]) -> List[Tuple[Optional[int], str]
     ]
 
 
+TYPED_SPAN_TYPE = pa.list_(
+    pa.struct(
+        [
+            pa.field("kind", pa.string()),
+            pa.field("start", pa.int32()),
+            pa.field("end", pa.int32()),
+            pa.field("block_id", pa.int32()),
+        ]
+    )
+)
+
+
+def extract_document_typed(payload: Optional[bytes]):
+    """One payload → list of typed page tuples
+    (page_number, text, spans, language_code, language_score) — the
+    no-JSON kernel for the typed scale path."""
+    data = bytes(payload) if payload is not None else b""
+    if is_pdf_payload(data):
+        results = []
+        for ordinal, page_payload in enumerate(split_pdf_pages(data), start=1):
+            page = extract_pdf_page(page_payload)
+            results.append(
+                (ordinal, page.text, page.spans, page.language_code, page.language_confidence)
+            )
+        return results
+    page = extract_html(data)
+    return [(None, page.text, page.spans, page.language_code, page.language_confidence)]
+
+
+def extract_pages_typed(
+    df: DataFrame,
+    html_column: str = "html",
+    error_handling: ErrorHandling = ErrorHandling.LOG,
+    drop_payload: bool = True,
+) -> DataFrame:
+    """The typed scale path: identical routing/splitting/extraction to
+    ``extract_pages`` but emitting typed columns directly — no response
+    JSON serialization in the stage and no ``from_json`` re-parse
+    downstream. At 100 TB this saves one serialize + one parse of every
+    extracted byte. The JSON path remains the reference-parity surface;
+    tests assert both paths agree field-for-field.
+
+    Output: passthrough + page_number int + extracted_text string +
+    spans array<struct> + language_code string + language_score double +
+    error_message / error_type strings.
+    """
+    if html_column not in df.columns:
+        raise ValueError(f"missing payload column '{html_column}'")
+    passthrough_fields = [
+        f for f in df.schema.fields if not (drop_payload and f.name == html_column)
+    ]
+    passthrough_names = [f.name for f in passthrough_fields]
+    out_schema = StructType(
+        list(passthrough_fields)
+        + [
+            StructField("page_number", IntegerType(), True),
+            StructField("extracted_text", StringType(), True),
+        ]
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructType as SType,
+    )
+    from pyspark.sql.types import StructField as SField
+
+    span_struct = SType(
+        [
+            SField("kind", StringType()),
+            SField("start", IntegerType()),
+            SField("end", IntegerType()),
+            SField("block_id", IntegerType()),
+        ]
+    )
+    out_schema = StructType(
+        list(out_schema.fields)
+        + [
+            StructField("spans", ArrayType(span_struct), True),
+            StructField("language_code", StringType(), True),
+            StructField("language_score", DoubleType(), True),
+            StructField("error_message", StringType(), True),
+            StructField("error_type", StringType(), True),
+        ]
+    )
+    fail_fast = error_handling == ErrorHandling.FAIL
+
+    def process(record_batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in record_batches:
+            html_idx = rb.schema.names.index(html_column)
+            payloads = rb.column(html_idx).to_pylist()
+            indices: List[int] = []
+            page_numbers: List[Optional[int]] = []
+            texts: List[Optional[str]] = []
+            spans: List[Optional[list]] = []
+            lang_codes: List[Optional[str]] = []
+            lang_scores: List[Optional[float]] = []
+            error_messages: List[str] = []
+            error_types: List[str] = []
+            for i, payload in enumerate(payloads):
+                try:
+                    for page_number, text, page_spans, code, score in extract_document_typed(payload):
+                        indices.append(i)
+                        page_numbers.append(page_number)
+                        texts.append(text)
+                        spans.append(
+                            [
+                                {"kind": k, "start": s, "end": e, "block_id": b}
+                                for (k, s, e, b) in page_spans
+                            ]
+                        )
+                        lang_codes.append(code)
+                        lang_scores.append(score if code else None)
+                        error_messages.append("")
+                        error_types.append("")
+                except CAPTURED_EXCEPTIONS as error:
+                    if fail_fast:
+                        raise
+                    indices.append(i)
+                    page_numbers.append(None)
+                    texts.append(None)
+                    spans.append(None)
+                    lang_codes.append(None)
+                    lang_scores.append(None)
+                    error_messages.append(str(error))
+                    error_types.append(qualified_error_type(error))
+            take_idx = pa.array(indices, type=pa.int64())
+            arrays = [
+                rb.column(rb.schema.names.index(name)).take(take_idx)
+                for name in passthrough_names
+            ]
+            arrays.append(pa.array(page_numbers, type=pa.int32()))
+            arrays.append(pa.array(texts, type=pa.string()))
+            arrays.append(pa.array(spans, type=TYPED_SPAN_TYPE))
+            arrays.append(pa.array(lang_codes, type=pa.string()))
+            arrays.append(pa.array(lang_scores, type=pa.float64()))
+            arrays.append(pa.array(error_messages, type=pa.string()))
+            arrays.append(pa.array(error_types, type=pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=passthrough_names
+                + [
+                    "page_number",
+                    "extracted_text",
+                    "spans",
+                    "language_code",
+                    "language_score",
+                    "error_message",
+                    "error_type",
+                ],
+            )
+
+    return df.mapInArrow(process, out_schema)
+
+
 def extract_pages(
     df: DataFrame,
     html_column: str = "html",
