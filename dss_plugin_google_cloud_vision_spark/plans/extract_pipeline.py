@@ -28,6 +28,18 @@ from ..operators.pages import extract_pages
 DEFAULT_PREFIX = "content_api"
 
 
+class EmptyInputError(ValueError):
+    """Raised when a pipeline input has no rows — the reference's
+    empty-result guards (dku_io_utils.py:42-43 'No files to process',
+    document_utils.py:194-195 'No documents to split')."""
+
+
+def guard_nonempty(df: DataFrame, message: str) -> DataFrame:
+    if df.isEmpty():
+        raise EmptyInputError(message)
+    return df
+
+
 class ExtractionPlan(NamedTuple):
     pages: DataFrame      # page-level rows: formatted columns + API columns
     documents: DataFrame  # document-level: url, page_count, doc_text
@@ -41,7 +53,10 @@ def run_extraction_pipeline(
     verbose: bool = False,
     drop_payload: bool = True,
     key_column: str = "url",
+    check_nonempty: bool = False,
 ) -> ExtractionPlan:
+    if check_nonempty:
+        guard_nonempty(df, "No pages to process")
     input_columns = list(df.columns)
     extracted = extract_pages(
         df,

@@ -111,3 +111,19 @@ def test_pipeline_language_columns(spark):
     assert len(detected) >= int(0.9 * len(rows))
     for r in detected:
         assert 0.0 < r["content_api_language_score"] <= 1.0
+
+
+def test_empty_input_guard(spark):
+    import pytest as _pytest
+
+    from dss_plugin_google_cloud_vision_spark.plans.extract_pipeline import (
+        EmptyInputError,
+        run_extraction_pipeline,
+    )
+
+    empty = tiny_pages_df(spark, 4).filter("1 = 0")
+    with _pytest.raises(EmptyInputError, match="No pages to process"):
+        run_extraction_pipeline(empty, check_nonempty=True)
+    # default: lazy pipelines tolerate empty inputs
+    plan = run_extraction_pipeline(empty)
+    assert plan.pages.count() == 0
