@@ -416,6 +416,22 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
 
 
+def q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed politeness scheduling (the reference's rate limiter,
+    M5, as deterministic slot assignment): 5 fetches per host per period."""
+    from dss_plugin_google_cloud_vision_spark.operators.politeness import assign_fetch_slots
+
+    part = _table(spark, sf_dir, "part")
+    urls = part.select(
+        F.format_string(
+            "https://h%s.example.org/p/%s", (F.col("p_partkey") % 7), F.col("p_partkey")
+        ).alias("url")
+    )
+    return assign_fetch_slots(urls, rate_per_period=5).select(
+        "url", "host", "fetch_seq", "fetch_slot"
+    )
+
+
 def q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase aggregation: events.event_type is a hot key
     (6 values over the whole table); partial agg on (key, salt) then final
@@ -476,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows": q_event_windows,
         "training_pipeline": q_training_pipeline,
         "skew_two_phase": q_skew_two_phase,
+        "politeness_slots": q_politeness_slots,
     }
 
 
@@ -572,6 +589,16 @@ def oracle_sql() -> dict[str, str]:
         "langid_stopword": _oracles.langid_sql(),
         "skew_two_phase": (
             "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "politeness_slots": (
+            "SELECT url, "
+            " regexp_extract(url, '^https://([^/]+)/', 1) AS host, "
+            " cast(row_number() OVER (PARTITION BY regexp_extract(url, '^https://([^/]+)/', 1)"
+            "   ORDER BY url) AS int) AS fetch_seq, "
+            " cast(floor((row_number() OVER (PARTITION BY regexp_extract(url, '^https://([^/]+)/', 1)"
+            "   ORDER BY url) - 1) / 5) AS int) AS fetch_slot "
+            "FROM (SELECT 'https://h' || cast(p_partkey % 7 AS varchar) || '.example.org/p/' ||"
+            " cast(p_partkey AS varchar) AS url FROM part)"
         ),
         "training_pipeline": (
             "WITH corpus AS ("
