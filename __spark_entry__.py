@@ -463,6 +463,56 @@ def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_table(_table(spark, sf_dir, "documents"))
 
 
+# --- rows-only entries (non-SQL-expressible; driver records a weaker
+# rows-only check, pytest carries the strong assertions) ---
+
+
+def q_extract_generated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full synthetic-corpus extraction (HTML + multi-page PDF + error
+    rows, Python datagen → not SQL-expressible): per-url doc md5 — the
+    byte-identity surface over every payload kind. Strong assertions live
+    in tests/ (frozen goldens); the driver sees rows + stable schema."""
+    from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages_typed
+    from dss_plugin_google_cloud_vision_spark.sources.pages import PAGE_SEPARATOR, pages_df
+
+    _ensure_workers_can_import(spark)
+    pages = pages_df(spark, 512, partitions=8)
+    typed = extract_pages_typed(pages)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.coalesce(F.col("page_number"), F.lit(0)).alias("pn"),
+                F.coalesce(F.col("extracted_text"), F.lit("")).alias("t"),
+            )
+        )
+    )
+    return typed.groupBy("url").agg(
+        F.md5(F.array_join(F.transform(ordered, lambda s: s["t"]), PAGE_SEPARATOR)).alias("doc_md5"),
+        F.count("*").alias("n_pages"),
+        F.max(F.col("error_type")).alias("error_type"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (binary payload → feature vector via
+    mapInPandas; deterministic fake decode — not SQL-expressible)."""
+    from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
+        extract_media_features,
+        synthetic_media_df,
+    )
+
+    _ensure_workers_can_import(spark)
+    media = synthetic_media_df(spark, 96)
+    out = extract_media_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        F.round(F.element_at("features", 1) * 1000000).cast("bigint").alias("f0_micro"),
+        F.size("features").alias("n_bins"),
+        "feature_error",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_text_identity": q_extract_text_identity,
@@ -493,6 +543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "skew_two_phase": q_skew_two_phase,
         "politeness_slots": q_politeness_slots,
+        # rows-only (no oracle entry): non-SQL-expressible surfaces
+        "extract_generated_pages": q_extract_generated_pages,
+        "media_features": q_media_features,
     }
 
 
