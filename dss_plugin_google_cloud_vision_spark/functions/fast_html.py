@@ -36,6 +36,11 @@ from html.parser import (
     tagfind_tolerant,
 )
 
+# attribute-free tags (~80% of web-page tags) skip the full start-tag
+# machinery; the name charset is a strict subset of the tolerant one and
+# the immediate '>' means the full path would make the same decision
+_SIMPLE_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)>")
+
 _MARKED_CLOSE = re.compile(r"]\s*]\s*>")
 _MS_MARKED_CLOSE = re.compile(r"]\s*>")
 _DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
@@ -90,6 +95,22 @@ def tokenize(markup: str, handler) -> None:
                 handle_data(markup[i : close.start()])  # raw
             i = close.start()
             # fall through: the match is a well-formed end tag at i
+
+        simple = _SIMPLE_TAG.match(markup, i)
+        if simple:
+            name = simple.group(2).lower()
+            if simple.group(1):
+                if cdata_elem is None or name == cdata_elem:
+                    handler.handle_endtag(name)
+                    cdata_elem = None
+                else:  # non-matching close inside CDATA: raw data
+                    handle_data(markup[i : simple.end()])
+            else:
+                handler.handle_starttag(name, [])
+                if name in _CDATA_ELEMENTS:
+                    cdata_elem = name
+            i = simple.end()
+            continue
 
         nxt = markup[i + 1 : i + 2]
         if nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):
