@@ -78,7 +78,7 @@ def main():
 
     def timed(builder) -> float:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             started = time.perf_counter()
             builder().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - started)
