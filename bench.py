@@ -33,8 +33,6 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "80000"))
 
 
 def main():
-    from pyspark.sql import functions as F
-
     import __spark_entry__ as entrymod
     from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages
     from dss_plugin_google_cloud_vision_spark.session import get_spark

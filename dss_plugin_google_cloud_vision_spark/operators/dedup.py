@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

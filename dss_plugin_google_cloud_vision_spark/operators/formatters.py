@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..errors import ErrorHandling
-from ..naming import build_unique_column_names, generate_unique
+from ..naming import generate_unique
 
 # One schema covering every annotation family the formatters project.
 VISION_RESPONSE_DDL = (

@@ -21,7 +21,7 @@ exercised end-to-end.
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import numpy as np
 import pandas as pd

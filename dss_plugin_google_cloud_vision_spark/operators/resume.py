@@ -32,7 +32,6 @@ from typing import Iterable, Iterator, Optional
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 LINEAGE_DDL = (
     "run_id string, partition_id int, n_input bigint, n_output bigint, "

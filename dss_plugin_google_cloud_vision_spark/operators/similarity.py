@@ -20,7 +20,6 @@ identically across engines.
 from __future__ import annotations
 
 import hashlib
-import math
 from typing import List, Sequence
 
 from pyspark.sql import Column, DataFrame
