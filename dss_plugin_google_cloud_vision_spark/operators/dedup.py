@@ -73,6 +73,34 @@ def exact_dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str 
     return df.join(keepers, id_col, "left_semi")
 
 
+def incremental_exact_dedup(
+    spark,
+    new_df: DataFrame,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Cross-run exact dedup (the dedup analogue of checkpoint-resume):
+    drop rows whose text fingerprint already exists in the deduplicated
+    corpus at ``output_path``, dedup the increment itself (keep-first on
+    min id), and append the survivors — which carry a ``_fp`` md5 column,
+    so the history scan of the next increment is a single 32-byte column
+    (column pruning), never the text. Returns the corpus size afterwards.
+
+    Call once per arriving increment; re-running on already-ingested data
+    is a no-op (every fingerprint already present)."""
+    fingerprinted = new_df.withColumn("_fp", F.md5(F.col(text_col)))
+    try:
+        seen = spark.read.parquet(output_path).select("_fp").distinct()
+        fresh = fingerprinted.join(seen, "_fp", "left_anti")
+    except Exception:  # noqa: BLE001 — first increment: no corpus yet
+        fresh = fingerprinted
+    keepers = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    surviving = fresh.join(keepers, [id_col, "_fp"], "left_semi")
+    surviving.write.mode("append").parquet(output_path)
+    return spark.read.parquet(output_path).count()
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -84,3 +84,28 @@ def test_quality_and_langid_basics(spark):
     assert langs[1] == "en"
     assert langs[3] == "fr"
     assert langs[2] == ""
+
+
+def test_incremental_exact_dedup_across_runs(spark, tmp_path):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import incremental_exact_dedup
+
+    out = str(tmp_path / "corpus")
+    inc1 = spark.createDataFrame(
+        [(1, "alpha text one"), (2, "beta text two"), (3, "alpha text one")],
+        "doc_id int, text string",
+    )
+    n1 = incremental_exact_dedup(spark, inc1, out)
+    assert n1 == 2  # in-increment duplicate dropped, keeper = min id
+
+    # increment 2: one cross-run duplicate, one new, one in-increment dup
+    inc2 = spark.createDataFrame(
+        [(10, "beta text two"), (11, "gamma text three"), (12, "gamma text three")],
+        "doc_id int, text string",
+    )
+    n2 = incremental_exact_dedup(spark, inc2, out)
+    assert n2 == 3
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 11}
+
+    # re-ingesting increment 2 is a no-op
+    assert incremental_exact_dedup(spark, inc2, out) == 3

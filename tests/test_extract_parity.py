@@ -206,3 +206,31 @@ def test_input_types_preserved(spark):
     assert schema["b"] == "binary"
     row = out.collect()[0]
     assert row["i"] == 1 and row["b"] == bytearray(b"abc")
+
+
+def test_custom_batch_response_parser(spark):
+    """X2 surface: a pluggable parser composed into the batch stage
+    (reference: parallelizer.py batch_response_parser kwarg)."""
+
+    def shouting_function(batch):
+        return [row[INPUT_COLUMN] for row in batch]
+
+    def shouting_parser(batch, response, column_names):
+        out = []
+        for value in response:
+            row = {name: "" for name in column_names}
+            row[column_names.response] = str(value).upper()
+            out.append(row)
+        return out
+
+    df = spark.createDataFrame([("hello",), ("world",)], [INPUT_COLUMN])
+    result = extract(
+        df,
+        shouting_function,
+        API_EXCEPTIONS,
+        COLUMN_PREFIX,
+        batch_support=True,
+        batch_response_parser=shouting_parser,
+    )
+    values = {r[INPUT_COLUMN]: r["test_api_response"] for r in result.collect()}
+    assert values == {"hello": "HELLO", "world": "WORLD"}
