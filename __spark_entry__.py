@@ -273,6 +273,27 @@ def q_text_formatter_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_topk_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/T1 through the actual formatter expression: per order, top-3
+    part keys by price among annotations scoring >= 5000.00 (exact-cents),
+    with deterministic tie-break (annotations pre-sorted (score asc, name
+    asc), stable desc sort preserves name order within ties)."""
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import _stable_top_names
+
+    lineitem = _table(spark, sf_dir, "lineitem")
+    annotations = F.array_sort(
+        F.collect_list(
+            F.struct(
+                _cents("l_extendedprice").alias("score"),
+                F.col("l_partkey").cast("string").alias("description"),
+            )
+        )
+    )
+    grouped = lineitem.groupBy("l_orderkey").agg(annotations.alias("ann"), F.count("*").alias("n_lines"))
+    top = _stable_top_names(F.col("ann"), "score", "description", minimum_score=500000, max_results=3)
+    return grouped.select("l_orderkey", top.alias("label_list"), "n_lines")
+
+
 def q_min_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 min-score predicate over events.value."""
     events = _table(spark, sf_dir, "events")
@@ -527,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_collect": q_merge_collect,
         "text_formatter_roundtrip": q_text_formatter_roundtrip,
         "min_score_filter": q_min_score_filter,
+        "content_topk_formatter": q_content_topk_formatter,
         "exact_dedup": q_exact_dedup,
         "minhash_candidates": q_minhash_candidates,
         "near_dup_pairs": q_near_dup_pairs,
@@ -627,6 +649,16 @@ def oracle_sql() -> dict[str, str]:
         "min_score_filter": (
             "SELECT event_id, event_type, cast(round(value * 1000) AS bigint) AS value_milli "
             "FROM events WHERE value >= 0.5"
+        ),
+        "content_topk_formatter": (
+            "SELECT l_orderkey, "
+            "coalesce(list(cast(l_partkey AS varchar) "
+            "  ORDER BY cast(round(l_extendedprice * 100) AS bigint) DESC, "
+            "           cast(l_partkey AS varchar) ASC) "
+            "  FILTER (WHERE cast(round(l_extendedprice * 100) AS bigint) >= 500000), "
+            "  [])[1:3] AS label_list, "
+            "count(*) AS n_lines "
+            "FROM lineitem GROUP BY l_orderkey"
         ),
         "exact_dedup": _oracles.exact_dedup_sql(),
         "minhash_candidates": _oracles.minhash_candidates_sql(),
