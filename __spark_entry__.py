@@ -291,7 +291,11 @@ def q_content_topk_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = lineitem.groupBy("l_orderkey").agg(annotations.alias("ann"), F.count("*").alias("n_lines"))
     top = _stable_top_names(F.col("ann"), "score", "description", minimum_score=500000, max_results=3)
-    return grouped.select("l_orderkey", top.alias("label_list"), "n_lines")
+    # string-join the list: the driver's pandas canonicalizer cannot sort
+    # array cells (round-1 harness error) — '|' join on both sides instead
+    return grouped.select(
+        "l_orderkey", F.array_join(top, "|").alias("label_list"), "n_lines"
+    )
 
 
 def q_min_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,8 +473,11 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregation (the batch shape of the
     streaming windowed_host_counts operator): events per type per day."""
     events = _table(spark, sf_dir, "events")
+    # the day is emitted as a yyyy-MM-dd STRING: a Spark date column lands
+    # in the driver's pandas canonicalizer as datetime64 and hash-mismatches
+    # the oracle (round-1 red)
     return events.groupBy(
-        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
@@ -588,8 +595,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "extract_lang_chars": (
-            "SELECT lang, sum(length(text)) AS total_chars, count(*) AS n_docs "
-            "FROM documents GROUP BY lang"
+            # cast: DuckDB sum(INTEGER) is HUGEINT → float64 in the driver's
+            # pandas canonicalizer (round-1 hash-mismatch)
+            "SELECT lang, cast(sum(length(text)) AS bigint) AS total_chars, "
+            "count(*) AS n_docs FROM documents GROUP BY lang"
         ),
         "doc_merge_roundtrip": (
             "SELECT doc_id, 1 AS page_count, text AS doc_text FROM documents"
@@ -652,11 +661,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "content_topk_formatter": (
             "SELECT l_orderkey, "
-            "coalesce(list(cast(l_partkey AS varchar) "
+            "array_to_string(coalesce(list(cast(l_partkey AS varchar) "
             "  ORDER BY cast(round(l_extendedprice * 100) AS bigint) DESC, "
             "           cast(l_partkey AS varchar) ASC) "
             "  FILTER (WHERE cast(round(l_extendedprice * 100) AS bigint) >= 500000), "
-            "  [])[1:3] AS label_list, "
+            "  [])[1:3], '|') AS label_list, "
             "count(*) AS n_lines "
             "FROM lineitem GROUP BY l_orderkey"
         ),
@@ -698,9 +707,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN keepers k ON g.text = k.text AND g.doc_id = k.keep"
         ),
         "event_windows": (
-            "SELECT cast(date_trunc('day', ts) AS date) AS day, event_type, "
+            # day as yyyy-MM-dd string + outer bigint cast (sum(BIGINT) is
+            # HUGEINT in DuckDB) — both round-1 hash-mismatch causes
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, "
             "count(*) AS n_events, "
-            "sum(cast(round(value * 1000) AS bigint)) AS value_milli_sum "
+            "cast(sum(cast(round(value * 1000) AS bigint)) AS bigint) AS value_milli_sum "
             "FROM events GROUP BY 1, 2"
         ),
     }

@@ -27,28 +27,41 @@ TABLES = (
 )
 
 
+class ArrayCell(Exception):
+    """An array/list-typed result cell — the driver's pandas canonicalizer
+    crashes on these (round-1 `unhashable type: 'list'`), so the local gate
+    must REJECT them, not serialize them."""
+
+
 def normalize(value):
+    """STRICT normalization mirroring the driver's pandas-based compare:
+    int and float are DIFFERENT (DuckDB HUGEINT → pandas float64 must not
+    silently equal a Spark int64 — the round-1 masking bug), and list cells
+    raise. Values arrive as pandas/numpy scalars from .toPandas()/.df()."""
+    import numpy as np
+    import pandas as pd
+
     if value is None:
         return ""
-    if isinstance(value, bool):
+    if isinstance(value, (list, tuple, np.ndarray)):
+        raise ArrayCell(type(value).__name__)
+    if isinstance(value, (bool, np.bool_)):
         return "1" if value else "0"
-    if isinstance(value, (int,)):
-        return str(value)
+    if isinstance(value, (int, np.integer)):
+        return str(int(value))
     if isinstance(value, decimal.Decimal):
-        f = float(value)
-        return normalize(f)
-    if isinstance(value, float):
+        return repr(round(float(value), 9)) + "f"
+    if isinstance(value, (float, np.floating)):
         if math.isnan(value):
             return "nan"
-        if value == int(value) and abs(value) < 1e15:
-            return str(int(value))
-        return repr(round(value, 9))
+        # floats stay floats: tagged so int64 vs float64 is a mismatch
+        return repr(round(float(value), 9)) + "f"
     if isinstance(value, (bytes, bytearray)):
         return bytes(value).hex()
-    if isinstance(value, (list, tuple)):
-        return json.dumps([normalize(v) for v in value])
     if isinstance(value, dict):
         return json.dumps({k: normalize(v) for k, v in sorted(value.items())})
+    if value is pd.NaT:
+        return ""
     return str(value)
 
 
@@ -90,8 +103,11 @@ def main():
         started = time.time()
         try:
             sdf = fn(spark, args.sf_dir)
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spark_cols = list(sdf.columns)
+            # through pandas, like the driver — so dtype coercions
+            # (HUGEINT→float64, date→datetime64) surface locally too
+            spark_pdf = sdf.toPandas()
+            spark_rows = list(spark_pdf.itertuples(index=False, name=None))
+            spark_cols = list(spark_pdf.columns)
         except Exception as error:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {error}")
             failures.append(name)
@@ -100,15 +116,20 @@ def main():
             print(f"rows  {name}: {len(spark_rows)} rows (no oracle — rows-only check)")
             continue
         try:
-            result = con.execute(oracles[name])
-            duck_cols = [d[0] for d in result.description]
-            duck_rows = result.fetchall()
+            duck_pdf = con.execute(oracles[name]).df()
+            duck_cols = list(duck_pdf.columns)
+            duck_rows = list(duck_pdf.itertuples(index=False, name=None))
         except Exception as error:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {error}")
             failures.append(name)
             continue
-        s_names, s_count, s_hash, s_rows = table_signature(spark_cols, spark_rows)
-        d_names, d_count, d_hash, d_rows = table_signature(duck_cols, duck_rows)
+        try:
+            s_names, s_count, s_hash, s_rows = table_signature(spark_cols, spark_rows)
+            d_names, d_count, d_hash, d_rows = table_signature(duck_cols, duck_rows)
+        except ArrayCell as error:
+            print(f"FAIL  {name}: array-typed result cell ({error}) — driver canonicalizer would crash")
+            failures.append(name)
+            continue
         elapsed = time.time() - started
         if s_names != d_names:
             print(f"FAIL  {name}: schema mismatch spark={s_names} duck={d_names}")
