@@ -355,12 +355,31 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(build_dedup_corpus(spark, sf_dir))
 
 
+def build_embedding_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ exactly-parallel ×2 copies of every tenth vector —
+    mirrors oracles.EMB_CORPUS_CTE. Power-of-two scaling is IEEE-exact:
+    every partial sum in the hyperplane dot folds doubles exactly, so a
+    copy shares every LSH band key with its source (guaranteed recall)
+    and the pair's cosine is exactly 1.0."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * 2.0).alias("embedding"),
+    )
+    return base.unionAll(copies)
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.dedup import embedding_near_dup_pairs
 
-    # the synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51): threshold 0.45 keeps the check decisively non-empty
-    return embedding_near_dup_pairs(_table(spark, sf_dir, "embeddings"), threshold_micro=450_000)
+    # near-orthogonal base vectors (max pairwise cosine ~0.51) + planted
+    # parallel copies: the 0.99 threshold keeps exactly the planted pairs
+    return embedding_near_dup_pairs(
+        build_embedding_corpus(spark, sf_dir), threshold_micro=990_000, dim=64
+    )
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
@@ -674,7 +693,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_pairs": _oracles.near_dup_pairs_sql(),
         "simhash": _oracles.simhash_sql(),
         "simhash_near_dups": _oracles.simhash_near_dup_sql(),
-        "embedding_near_dups": _oracles.embedding_near_dup_sql(threshold_micro=450_000),
+        "embedding_near_dups": _oracles.embedding_near_dup_sql(threshold_micro=990_000),
         "ann_topk": _oracles.ann_topk_sql(),
         "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
         "token_counts": _oracles.token_count_sql(),

@@ -16,10 +16,11 @@ Scale notes:
   (exact Jaccard) only touches candidate pairs. This is the standard
   shingle→minhash→band→bucket-join pipeline; at 10^12 docs the band join
   is a shuffle on a well-distributed hash key and AQE handles bucket skew.
-- SimHash: 16-bit signatures via per-bit conditional sums in one groupBy;
-  near-dup candidates via two byte-band equi-joins (hamming<=k implies at
-  least one band matches for k<=... pigeonhole with 2 bands catches
-  hamming<=1 exactly; we verify with bit_count anyway).
+- SimHash: 64-bit signatures via per-bit conditional sums in one groupBy;
+  near-dup candidates via four 16-bit-band equi-joins (pigeonhole: any
+  pair at hamming<=3 shares an unchanged band; verified with bit_count).
+- Embedding near-dups: hyperplane-LSH band blocking + exact-cosine verify
+  on candidates only — no all-pairs join anywhere.
 """
 
 from __future__ import annotations
@@ -32,7 +33,8 @@ from pyspark.sql import functions as F
 DEFAULT_SHINGLE_K = 3
 DEFAULT_N_HASHES = 12
 DEFAULT_BANDS = 4  # rows per band = n_hashes // bands
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit band keys; pigeonhole covers hamming <= 3
 _HEX = "0123456789abcdef"
 
 
@@ -217,65 +219,84 @@ def near_dup_pairs(
     return jaccard_verified_pairs(df, candidates, id_col, text_col, shingle_k, threshold_milli)
 
 
-def _hex_value(char_col: Column) -> Column:
-    # instr is 1-based; md5 output is lowercase hex
-    return F.instr(F.lit(_HEX), char_col) - 1
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """64-bit SimHash over distinct tokens via explode → one groupBy pass:
+    each token votes ±1 per bit (bit j of its md5 hex prefix), and simhash
+    bit j is set iff the vote sum is positive. The 16 hex-digit values are
+    materialized once per token and the 64 vote sums are plain conditional
+    aggregates — whole-stage-codegen with map-side partial aggregation, one
+    shuffle keyed on the id. (Replaces the round-1 per-row 16-bit fold:
+    64 bits make 4×16-bit LSH bands possible, keeping self-join buckets at
+    ~n/65536 instead of the quadratic-degenerate n/256.)
+
+    The signature is assembled as a SIGNED bigint (bit 63 contributes
+    -2^63, two's complement) — identical in Spark and DuckDB, and xor /
+    bit_count work on it directly. Uses only cross-engine-identical
+    primitives (md5 hex, substring, instr/strpos)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_column(text_col))).alias("w")
+    )
+    # materialize the token hash ONCE (16 digit extractions share it),
+    # then the digit values once (4 bit tests each share them); instr is
+    # 1-based; md5 output is lowercase hex. The wide expressions are built
+    # as SQL strings (one parse each) — 64 python-side Column chains cost
+    # seconds of py4j round-trips per plan build.
+    hashed = tok.select(F.col(id_col), F.md5(F.col("w")).alias("h"))
+    digits = hashed.selectExpr(
+        id_col,
+        *[f"(instr('{_HEX}', substring(h, {i + 1}, 1)) - 1) AS d{i}" for i in range(bits // 4)],
+    )
+    votes = [
+        F.expr(f"sum(CASE WHEN ((d{j // 4} >> {j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}")
+        for j in range(bits)
+    ]
+    agg = digits.groupBy(id_col).agg(*votes)
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN cast({2 ** j} AS bigint) ELSE cast(0 AS bigint) END)"
+        for j in range(bits - 1)
+    )
+    sign_term = (
+        f"(CASE WHEN s{bits - 1} > 0 THEN cast(-9223372036854775807 - 1 AS bigint)"
+        " ELSE cast(0 AS bigint) END)"
+    )
+    return agg.selectExpr(id_col, f"cast({bit_terms} + {sign_term} AS bigint) AS simhash")
 
 
-def simhash_column(
-    text_col: str = "text", bits: int = SIMHASH_BITS
-) -> Column:
-    """SimHash over distinct tokens: bit j of md5's hex prefix votes ±1;
-    simhash bit j set iff the vote sum is positive. Uses only
-    cross-engine-identical primitives (md5 hex, substring, instr)."""
-    toks = F.array_distinct(tokens_column(text_col))
-    hashes = F.transform(toks, lambda w: F.md5(w))
-
-    # NB: Spark lambda params must be exactly the lambda's positional args
-    # (PySpark binds a Column to every parameter, including defaults), so
-    # per-bit constants are captured via factory closures.
-    def make_merge(digit_index: int, bit_in_digit: int):
-        def merge(acc: Column, h: Column) -> Column:
-            value = _hex_value(F.substring(h, digit_index, 1))
-            bit = F.floor(value / (2 ** bit_in_digit)) % 2
-            return acc + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
-
-        return merge
-
-    bit_sums: List[Column] = []
-    for j in range(bits):
-        bit_sums.append(F.aggregate(hashes, F.lit(0), make_merge(j // 4 + 1, j % 4)))
-    return sum(
-        (F.when(bit_sums[j] > 0, F.lit(2 ** j)).otherwise(F.lit(0)) for j in range(bits)),
-        F.lit(0),
-    ).cast("int")
-
-
-def simhash_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(F.col(id_col), simhash_column(text_col).alias("simhash"))
+def simhash_band_keys(simhash_col: Column, bands: int = SIMHASH_BANDS) -> List[Column]:
+    """16-bit band keys out of the 64-bit signature. Arithmetic shiftright
+    plus the 0xFFFF mask yields the same key in Spark and DuckDB even for
+    negative (bit-63-set) signatures — the mask discards the sign fill."""
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    return [
+        F.shiftright(simhash_col, width * b).bitwiseAND(F.lit(mask)) for b in range(bands)
+    ]
 
 
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 1,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dups via byte-band blocking: with 2 bands over 16 bits,
-    any pair at hamming distance <= 1 shares at least one band (pigeonhole);
-    candidates are verified with bit_count(xor). Output: doc_a, doc_b,
-    hamming."""
+    """SimHash near-dups via band blocking: 4 bands of 16 bits over the
+    64-bit signature — any pair at hamming distance <= 3 shares at least
+    one unchanged band (pigeonhole), so recall is exact for the default
+    threshold; candidates are verified with bit_count(xor). Each band key
+    has 2^16 values, so self-join buckets stay ~n/65536 per band at corpus
+    scale. Output: doc_a, doc_b, hamming."""
     sims = simhash_table(df, id_col, text_col)
-    banded = sims.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("simhash") % 256).alias("key")),
-                F.struct(F.lit(1).alias("band"), F.floor(F.col("simhash") / 256).cast("int").alias("key")),
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
+            for b, key in enumerate(simhash_band_keys(F.col("simhash")))
+        ]
+    )
+    banded = sims.select(F.col(id_col), "simhash", F.explode(band_structs).alias("bk")).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
     left = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -293,15 +314,43 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold_micro: int = 990_000,
+    dim: int | None = None,
+    n_planes: int = 32,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates: pairs with cosine >= threshold
-    (micro-scaled integer compare). Vectors are L2-normalized ONCE before
-    the pairwise join, so each pair costs a single dot product instead of
-    three (3x fewer interpreted array ops — measured 48s → ~16s at sf0.1).
-    Brute-force pairwise is the baseline; the LSH-bucketed scale path lives
-    in ``operators.similarity``."""
-    from .similarity import dot_product, norm
+    """Embedding-cosine near-duplicates via LSH-banded blocking (replaces
+    the round-1 all-pairs crossJoin): random-hyperplane sign bands
+    (deterministic md5 hyperplanes shared with ``operators.similarity``),
+    equi-join on (band, band_key), then exact-cosine verification ONLY on
+    candidate pairs — micro-scaled integer compare, vectors L2-normalized
+    once so each pair costs a single dot product.
 
+    Scale: with 4 bands of 8 sign bits the band join shuffles on
+    well-distributed small-int keys and each bucket holds ~n/256 vectors —
+    no CartesianProduct anywhere in the plan (asserted in
+    tests/test_plan_quality.py). Recall at the default 0.99 threshold is
+    ~99% (8.1° angle → per-bit flip ~4.5%, band-match 0.69, 4 bands);
+    exactly-parallel vectors share every band key, so exact duplicates are
+    always recalled."""
+    from .similarity import dot_product, hyperplane_band_keys, norm
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    keys = hyperplane_band_keys(F.col(vec_col), dim, n_planes, n_bands)
+    band_structs = F.array(
+        *[F.struct(F.lit(b).alias("band"), key.alias("key")) for b, key in enumerate(keys)]
+    )
+    banded = df.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    left = banded.select(F.col(id_col).alias("vec_a"), "band", "key")
+    right = banded.select(F.col(id_col).alias("vec_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
     normed = df.select(
         F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")
     ).select(
@@ -310,7 +359,7 @@ def embedding_near_dup_pairs(
     )
     a = normed.select(F.col(id_col).alias("vec_a"), F.col("_e").alias("emb_a"))
     b = normed.select(F.col(id_col).alias("vec_b"), F.col("_e").alias("emb_b"))
-    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = candidates.join(a, "vec_a").join(b, "vec_b")
     cos_micro = F.round(dot_product(F.col("emb_a"), F.col("emb_b")) * 1_000_000).cast("bigint")
     return pairs.select("vec_a", "vec_b", cos_micro.alias("cos_micro")).filter(
         F.col("cos_micro") >= threshold_micro

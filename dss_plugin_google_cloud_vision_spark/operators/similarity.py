@@ -64,11 +64,12 @@ def brute_force_topk(
     scored = df.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
+    # orderBy().limit(k) plans as TakeOrderedAndProject (per-partition top-k,
+    # no global sort, no single-partition window over the full table); the
+    # rank window then only touches the k surviving rows
+    top = scored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------------
@@ -136,5 +137,28 @@ def lsh_bucketed_topk(
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
+    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return rescored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def hyperplane_band_keys(
+    vec_col: Column, dim: int, n_planes: int = 32, n_bands: int = 4
+) -> List[Column]:
+    """Per-band LSH bucket keys for pairwise blocking: band ``b``'s key
+    packs the sign bits of its ``n_planes // n_bands`` hyperplanes into a
+    small int (bits packed per band — no 32-bit overflow however many
+    planes). Two vectors are near-dup candidates iff they share a key in
+    at least one band. Exactly-parallel vectors always share every key."""
+    planes_per_band = n_planes // n_bands
+    keys: List[Column] = []
+    for b in range(n_bands):
+        terms = []
+        for r in range(planes_per_band):
+            plane_index = b * planes_per_band + r
+            plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_index)])
+            terms.append(
+                F.when(dot_product(vec_col, plane) > 0, F.lit(2**r)).otherwise(F.lit(0))
+            )
+        keys.append(sum(terms[1:], terms[0]).cast("int"))
+    return keys

@@ -16,6 +16,7 @@ from .operators.dedup import (
     DEFAULT_BANDS,
     DEFAULT_N_HASHES,
     DEFAULT_SHINGLE_K,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
 )
 from .operators.similarity import _hyperplane
@@ -101,18 +102,32 @@ def near_dup_pairs_sql(threshold_milli: int = 800) -> str:
 
 
 def _simhash_ctes(source: str = "documents", bits: int = SIMHASH_BITS) -> str:
-    vote_cols = []
-    for j in range(bits):
-        digit_index = j // 4 + 1
-        bit_in_digit = j % 4
-        value = f"(strpos('0123456789abcdef', substring(md5(w), {digit_index}, 1)) - 1)"
-        bit = f"cast(floor({value} / {2 ** bit_in_digit}) AS bigint) % 2"
-        vote_cols.append(f"sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS s{j}")
-    bit_terms = " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    """Mirror of operators.dedup.simhash_table: distinct tokens → 16
+    hex-digit values per token → 64 ±1 vote sums → signed-bigint signature
+    (bit 63 contributes -2^63, two's complement — DuckDB and Spark agree
+    bit-for-bit)."""
+    digit_defs = ", ".join(
+        f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) AS d{i}"
+        for i in range(bits // 4)
+    )
+    vote_cols = [
+        f"sum(CASE WHEN ((d{j // 4} >> {j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    ]
+    bit_terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN cast({2 ** j} AS bigint) ELSE cast(0 AS bigint) END)"
+        for j in range(bits - 1)
+    )
+    sign_term = (
+        f"(CASE WHEN s{bits - 1} > 0 THEN cast(-9223372036854775807 - 1 AS bigint)"
+        " ELSE cast(0 AS bigint) END)"
+    )
     return (
         f"tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM {source}), "
-        f"votes AS (SELECT doc_id, {', '.join(vote_cols)} FROM tok GROUP BY doc_id), "
-        f"sims AS (SELECT doc_id, cast({bit_terms} AS int) AS simhash FROM votes)"
+        f"hsh AS (SELECT doc_id, md5(w) AS h FROM tok), "
+        f"dig AS (SELECT doc_id, {digit_defs} FROM hsh), "
+        f"votes AS (SELECT doc_id, {', '.join(vote_cols)} FROM dig GROUP BY doc_id), "
+        f"sims AS (SELECT doc_id, cast({bit_terms} + {sign_term} AS bigint) AS simhash FROM votes)"
     )
 
 
@@ -120,17 +135,20 @@ def simhash_sql(source: str = "documents") -> str:
     return f"WITH {_simhash_ctes(source)} SELECT doc_id, simhash FROM sims"
 
 
-def simhash_near_dup_sql(max_hamming: int = 1) -> str:
+def simhash_near_dup_sql(max_hamming: int = 3, bands: int = SIMHASH_BANDS) -> str:
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {width * b}) & {mask} AS key FROM sims"
+        for b in range(bands)
+    )
     return (
         f"WITH {CORPUS_CTE}, {_simhash_ctes('corpus')}, "
-        "banded AS ("
-        " SELECT doc_id, simhash, 0 AS band, simhash % 256 AS key FROM sims"
-        " UNION ALL"
-        " SELECT doc_id, simhash, 1 AS band, cast(floor(simhash / 256) AS int) AS key FROM sims) "
+        f"banded AS ({band_selects}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-        " cast(bit_count(xor(cast(a.simhash AS bigint), cast(b.simhash AS bigint))) AS int) AS hamming "
+        " cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming "
         "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
-        f"WHERE bit_count(xor(cast(a.simhash AS bigint), cast(b.simhash AS bigint))) <= {max_hamming}"
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
 
@@ -158,18 +176,57 @@ def ann_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     )
 
 
-def embedding_near_dup_sql(threshold_micro: int = 990_000) -> str:
-    # mirrors operators.dedup.embedding_near_dup_pairs: L2-normalize once,
-    # one dot per pair; identical double op order → identical bits
+# Synthetic embedding near-dup corpus: embeddings ∪ exactly-parallel ×2
+# copies of every tenth vector. Power-of-two scaling is IEEE-exact, so a
+# copy shares every hyperplane sign (always a candidate) and has cosine
+# 1.0 to its source. Mirrored by `build_embedding_corpus` in __spark_entry__.
+EMB_CORPUS_CTE = (
+    "ecorpus AS ("
+    " SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+    " UNION ALL"
+    " SELECT vec_id + 100000 AS vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS emb"
+    "  FROM embeddings WHERE vec_id % 10 = 0)"
+)
+
+
+def _hyperplane_band_key_sql(vec: str, band: int, dim: int, n_planes: int, n_bands: int) -> str:
+    """Mirror of operators.similarity.hyperplane_band_keys for one band."""
+    planes_per_band = n_planes // n_bands
+    terms = []
+    for r in range(planes_per_band):
+        plane = "[" + ", ".join(repr(v) for v in _hyperplane(dim, band * planes_per_band + r)) + "]"
+        terms.append(f"(CASE WHEN {DOT.format(a=vec, b=plane)} > 0 THEN {2 ** r} ELSE 0 END)")
+    return "cast((" + " + ".join(terms) + ") AS int)"
+
+
+def embedding_near_dup_sql(
+    threshold_micro: int = 990_000, dim: int = 64, n_planes: int = 32, n_bands: int = 4
+) -> str:
+    """Mirror of operators.dedup.embedding_near_dup_pairs: hyperplane band
+    keys → band equi-join candidates → L2-normalize once → one exact dot
+    per candidate pair. Identical double op order on both engines →
+    identical bits (and identical LSH candidacy, so even LSH misses are
+    mirrored exactly)."""
+    key_cols = ", ".join(
+        f"{_hyperplane_band_key_sql('emb', b, dim, n_planes, n_bands)} AS k{b}"
+        for b in range(n_bands)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, k{b} AS key FROM sigs" for b in range(n_bands)
+    )
     pair_dot = DOT.format(a="a.e", b="b.e")
     return (
-        "WITH normed AS ("
-        " SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / n) AS e"
-        " FROM (SELECT vec_id, embedding,"
-        f"  sqrt({DOT.format(a='embedding', b='embedding')}) AS n FROM embeddings)) "
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"WITH {EMB_CORPUS_CTE}, "
+        f"sigs AS (SELECT vec_id, {key_cols} FROM ecorpus), "
+        f"banded AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        " FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id), "
+        "normed AS ("
+        " SELECT vec_id, list_transform(emb, x -> x / n) AS e"
+        f" FROM (SELECT vec_id, emb, sqrt({DOT.format(a='emb', b='emb')}) AS n FROM ecorpus)) "
+        "SELECT c.vec_a, c.vec_b, "
         f"cast(round({pair_dot} * 1000000) AS bigint) AS cos_micro "
-        "FROM normed a JOIN normed b ON a.vec_id < b.vec_id "
+        "FROM cand c JOIN normed a ON a.vec_id = c.vec_a JOIN normed b ON b.vec_id = c.vec_b "
         f"WHERE cast(round({pair_dot} * 1000000) AS bigint) >= {threshold_micro}"
     )
 

@@ -57,7 +57,7 @@ def test_simhash_identical_texts_equal(spark):
     df = _corpus(spark)
     sims = {r["doc_id"]: r["simhash"] for r in simhash_table(df).collect()}
     assert sims[1] == sims[101]
-    assert 0 <= sims[1] < 2**16
+    assert -(2**63) <= sims[1] < 2**63  # 64-bit signed signature
     # different text, different vocabulary → different signature
     assert sims[1] != sims[103]
 

@@ -84,3 +84,31 @@ def test_write_output_sidecar_descriptions(spark, tmp_path):
     back = read_column_descriptions(spark, target)
     assert back == {"id": "row id", "value": "from input"}
     assert spark.read.parquet(target).count() == 1
+
+
+def test_embedding_near_dup_has_no_cartesian_product(spark, sf_dir):
+    """The LSH-banded blocking join must plan as an equi-join on
+    (band, key) — never an all-pairs product (the round-1 scale-killer)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(embedding_near_dup_pairs(emb, dim=64))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ann_topk_uses_take_ordered(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition k,
+    no full sort / no full-table single-partition window)."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    for fn in (brute_force_topk, lsh_bucketed_topk):
+        plan = _plan(fn(emb, query, k=10))
+        assert "TakeOrderedAndProject" in plan, plan
