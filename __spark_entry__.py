@@ -161,6 +161,19 @@ def q_extract_pdf_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_tiff_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF-path byte-identity (the third routing branch): two-frame
+    ``II*\\x00`` payloads; the pipeline must split frames, extract each and
+    merge back to half1\\fhalf2 of documents.text."""
+    from dss_plugin_google_cloud_vision_spark.sources.render import documents_as_tiff_pages
+
+    pages = documents_as_tiff_pages(_table(spark, sf_dir, "documents"))
+    plan = run_extraction_pipeline(pages)
+    return plan.documents.join(pages.select("url", "doc_id"), "url").select(
+        "doc_id", "page_count", F.col("doc_text").alias("extracted_text")
+    )
+
+
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 top-k: top 3 lineitems per returnflag by price, deterministic
     tie-break."""
@@ -295,6 +308,117 @@ def q_content_topk_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array cells (round-1 harness error) — '|' join on both sides instead
     return grouped.select(
         "l_orderkey", F.array_join(top, "|").alias("label_list"), "n_lines"
+    )
+
+
+_LIKELIHOODS = ("VERY_UNLIKELY", "UNLIKELY", "POSSIBLE", "LIKELY", "VERY_LIKELY")
+
+
+def q_unsafe_likelihoods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 through the actual formatter: build safeSearchAnnotation
+    responses in SQL, project the five likelihood columns back out
+    (reference google_vision_api_formatting.py:432-457)."""
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import (
+        UNSAFE_CATEGORIES,
+        format_unsafe_content,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+
+    def lik(offset: int):
+        return F.element_at(
+            F.array(*[F.lit(s) for s in _LIKELIHOODS]),
+            ((F.col("doc_id") + offset) % 5 + 1).cast("int"),
+        )
+
+    response = F.to_json(
+        F.struct(
+            F.struct(
+                *[lik(i).alias(cat) for i, cat in enumerate(UNSAFE_CATEGORIES)]
+            ).alias("safeSearchAnnotation")
+        )
+    )
+    with_resp = docs.select("doc_id", response.alias("resp"))
+    result = format_unsafe_content(with_resp, "resp", "moderation_api")
+    return result.df.select(
+        "doc_id",
+        *[
+            F.col(f"moderation_api_{cat}_likelihood").alias(f"{cat}_likelihood")
+            for cat in UNSAFE_CATEGORIES
+        ],
+    )
+
+
+def q_crop_hints_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 through the actual formatter: first crop hint's confidence /
+    importanceFraction (reference google_vision_api_formatting.py:460-486),
+    emitted as exact micro ints."""
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import format_crop_hints
+
+    docs = _table(spark, sf_dir, "documents")
+    conf = (F.col("doc_id") % 100).cast("double") / 100.0
+    imp = (F.col("doc_id") % 37).cast("double") / 37.0
+    response = F.to_json(
+        F.struct(
+            F.struct(
+                F.array(
+                    F.struct(conf.alias("confidence"), imp.alias("importanceFraction")),
+                    # a second hint that must NOT win (first-hint semantics)
+                    F.struct(F.lit(0.5).alias("confidence"), F.lit(0.5).alias("importanceFraction")),
+                ).alias("cropHints")
+            ).alias("cropHintsAnnotation")
+        )
+    )
+    with_resp = docs.select("doc_id", response.alias("resp"))
+    result = format_crop_hints(with_resp, "resp", "crop_api")
+    return result.df.select(
+        "doc_id",
+        F.round(F.col("crop_api_score") * 1_000_000).cast("bigint").alias("score_micro"),
+        F.round(F.col("crop_api_importance_fraction") * 1_000_000)
+        .cast("bigint")
+        .alias("importance_micro"),
+    )
+
+
+def q_web_blocklist_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 through the actual formatter: x-raw-image:/// URLs are dropped
+    from the full-matching list AFTER the top-k cap, exactly as the
+    reference does (google_vision_api_formatting.py:163-191); plus the
+    best-guess web label."""
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import (
+        format_content_detection,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    url_a = F.format_string("https://img%s.example.org/a", F.col("doc_id"))
+    url_b = F.when(F.col("doc_id") % 3 == 0, F.lit("x-raw-image:///img")).otherwise(
+        F.format_string("https://img%s.example.org/b", F.col("doc_id"))
+    )
+    url_c = F.format_string("https://img%s.example.org/c", F.col("doc_id"))
+    response = F.to_json(
+        F.struct(
+            F.struct(
+                F.array(F.struct(F.format_string("lbl%s", F.col("doc_id") % 7).alias("label"))).alias(
+                    "bestGuessLabels"
+                ),
+                F.array(
+                    F.struct(url_a.alias("url")),
+                    F.struct(url_b.alias("url")),
+                    F.struct(url_c.alias("url")),
+                ).alias("fullMatchingImages"),
+            ).alias("webDetection")
+        )
+    )
+    with_resp = docs.select("doc_id", response.alias("resp"))
+    result = format_content_detection(
+        with_resp, "resp", "content_api", content_categories=("web",), max_results=2
+    )
+    return result.df.select(
+        "doc_id",
+        F.col("content_api_web_label").alias("web_label"),
+        F.array_join(F.col("content_api_web_full_matching_image_list"), "|").alias(
+            "full_matching"
+        ),
     )
 
 
@@ -567,12 +691,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_lang_chars": q_extract_lang_chars,
         "doc_merge_roundtrip": q_doc_merge_roundtrip,
         "extract_pdf_identity": q_extract_pdf_identity,
+        "extract_tiff_identity": q_extract_tiff_identity,
         "topk_per_group": q_topk_per_group,
         "argmax_supplier": q_argmax_supplier,
         "extension_filter": q_extension_filter,
         "anti_join_resume": q_anti_join_resume,
         "merge_collect": q_merge_collect,
         "text_formatter_roundtrip": q_text_formatter_roundtrip,
+        "unsafe_likelihoods": q_unsafe_likelihoods,
+        "crop_hints_formatter": q_crop_hints_formatter,
+        "web_blocklist_formatter": q_web_blocklist_formatter,
         "min_score_filter": q_min_score_filter,
         "content_topk_formatter": q_content_topk_formatter,
         "exact_dedup": q_exact_dedup,
@@ -633,6 +761,15 @@ def oracle_sql() -> dict[str, str]:
             " cast(floor(len(string_split(text, ' ')) / 3) AS int) AS n2 "
             " FROM documents)"
         ),
+        "extract_tiff_identity": (
+            "SELECT doc_id, 2 AS page_count, "
+            "array_to_string(toks[1:n1], ' ') || chr(12) || "
+            "array_to_string(toks[n1+1:n], ' ') AS extracted_text "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
+            " len(string_split(text, ' ')) AS n, "
+            " cast(floor(len(string_split(text, ' ')) / 2) AS int) AS n1 "
+            " FROM documents)"
+        ),
         "topk_per_group": (
             "SELECT l_returnflag, l_orderkey, l_linenumber, "
             "cast(round(l_extendedprice * 100) AS bigint) AS price_cents, rn FROM ("
@@ -677,6 +814,30 @@ def oracle_sql() -> dict[str, str]:
         "min_score_filter": (
             "SELECT event_id, event_type, cast(round(value * 1000) AS bigint) AS value_milli "
             "FROM events WHERE value >= 0.5"
+        ),
+        "unsafe_likelihoods": (
+            "SELECT doc_id, "
+            + ", ".join(
+                "(['VERY_UNLIKELY','UNLIKELY','POSSIBLE','LIKELY','VERY_LIKELY'])"
+                f"[cast((doc_id + {i}) % 5 AS int) + 1] AS {cat}_likelihood"
+                for i, cat in enumerate(("adult", "spoof", "medical", "violence", "racy"))
+            )
+            + " FROM documents"
+        ),
+        "crop_hints_formatter": (
+            "SELECT doc_id, "
+            "cast(round(cast(doc_id % 100 AS double) / 100.0 * 1000000) AS bigint) AS score_micro, "
+            "cast(round(cast(doc_id % 37 AS double) / 37.0 * 1000000) AS bigint) AS importance_micro "
+            "FROM documents"
+        ),
+        "web_blocklist_formatter": (
+            "SELECT doc_id, 'lbl' || cast(doc_id % 7 AS varchar) AS web_label, "
+            "CASE WHEN doc_id % 3 = 0 "
+            " THEN 'https://img' || cast(doc_id AS varchar) || '.example.org/a' "
+            " ELSE 'https://img' || cast(doc_id AS varchar) || '.example.org/a|'"
+            "   || 'https://img' || cast(doc_id AS varchar) || '.example.org/b' "
+            "END AS full_matching "
+            "FROM documents"
         ),
         "content_topk_formatter": (
             "SELECT l_orderkey, "

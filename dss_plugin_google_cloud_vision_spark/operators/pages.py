@@ -39,6 +39,7 @@ from ..errors import DocumentSplitError, ErrorHandling, ExtractionError, qualifi
 from ..functions.html_extract import extract_html
 from ..functions.pdf_extract import extract_pdf_page, is_pdf_payload, split_pdf_pages
 from ..functions.response import build_page_response
+from ..functions.tiff_extract import extract_tiff_frame, is_tiff_payload, split_tiff_frames
 from ..naming import api_output_columns, build_unique_column_names, generate_unique
 
 DEFAULT_COLUMN_PREFIX = "content_api"
@@ -48,10 +49,13 @@ CAPTURED_EXCEPTIONS = (ExtractionError, DocumentSplitError)
 def extract_document(payload: Optional[bytes]) -> List[Tuple[Optional[int], str]]:
     """One document payload → [(page_number, response_json)] — pure kernel.
 
-    HTML payloads yield a single page with ``page_number`` None (mirroring
-    the reference's empty page number outside the document path,
-    document_utils.py:320-327); ``%PDF-`` payloads are split and each page
-    extracted with layout ordering, numbered 1..N by ordinal.
+    Routing is THREE-way on magic bytes — ``%PDF-`` / ``II*\\x00`` (TIFF) /
+    other→HTML — mirroring the reference's pdf / tif+tiff / other suffix
+    routing (google_vision_api_formatting.py:412-418, document_utils.py:
+    144-151). HTML payloads yield a single page with ``page_number`` None
+    (the reference's empty page number outside the document path,
+    document_utils.py:320-327); multi-page payloads are split and each
+    page/frame extracted, numbered 1..N by ordinal.
     Raises ``ExtractionError`` / ``DocumentSplitError`` on bad payloads.
     """
     data = bytes(payload) if payload is not None else b""
@@ -64,6 +68,19 @@ def extract_document(payload: Optional[bytes]) -> List[Tuple[Optional[int], str]
                     ordinal,
                     build_page_response(
                         page.text, page.spans, page.language_code, page.language_confidence
+                    ),
+                )
+            )
+        return results
+    if is_tiff_payload(data):
+        results = []
+        for ordinal, frame_payload in enumerate(split_tiff_frames(data), start=1):
+            frame = extract_tiff_frame(frame_payload)
+            results.append(
+                (
+                    ordinal,
+                    build_page_response(
+                        frame.text, frame.spans, frame.language_code, frame.language_confidence
                     ),
                 )
             )
@@ -105,6 +122,14 @@ def extract_document_typed(payload: Optional[bytes]):
             page = extract_pdf_page(page_payload)
             results.append(
                 (ordinal, page.text, page.spans, page.language_code, page.language_confidence)
+            )
+        return results
+    if is_tiff_payload(data):
+        results = []
+        for ordinal, frame_payload in enumerate(split_tiff_frames(data), start=1):
+            frame = extract_tiff_frame(frame_payload)
+            results.append(
+                (ordinal, frame.text, frame.spans, frame.language_code, frame.language_confidence)
             )
         return results
     page = extract_html(data)

@@ -74,6 +74,33 @@ def documents_as_pdf_pages(documents: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_tiff_pages(documents: DataFrame) -> DataFrame:
+    """documents → pages whose payloads are TWO-FRAME ``II*\\x00`` (TIFF
+    little-endian magic) containers: frame 1 holds the first half of the
+    text, frame 2 the rest, one OCR line each. Ground truth
+    (SQL-computable): document text = half1 || '\\f' || half2. Exercises
+    the engine's third routing branch (pdf / tiff / html — the reference's
+    three-way suffix routing, google_vision_api_formatting.py:412-418)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n1 = F.floor(n / 2).cast("int")
+    half1 = F.array_join(F.slice(toks, 1, n1), " ")
+    half2 = F.array_join(F.slice(toks, n1 + 1, n - n1), " ")
+    payload = F.format_string(
+        "II*\x00FAKE 1.0\nFRAME 1\n%s\nENDFRAME\nFRAME 2\n%s\nENDFRAME\n%%%%EOFTIFF\n",
+        half1,
+        half2,
+    )
+    return documents.select(
+        F.format_string("https://docs.example.org/%s/doc-%s.tiff", F.col("lang"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_SECONDS) + F.col("doc_id") * 137).alias("warc_ts"),
+        F.encode(payload, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("doc_id"),
+    )
+
+
 def documents_as_pages(documents: DataFrame, error_mod: int = 0) -> DataFrame:
     """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text,
     lang, doc_id). With ``error_mod`` > 0, every ``doc_id % error_mod == 0``

@@ -164,3 +164,76 @@ def test_extraction_is_deterministic():
             continue
         first = extract_document(page["html"])
         assert all(extract_document(page["html"]) == first for _ in range(3))
+
+
+TIFF_PAYLOAD = (
+    b"II*\x00FAKE 1.0\n"
+    b"FRAME 1\n"
+    b"the quick brown fox\n"
+    b"jumps over the lazy dog\n"
+    b"ENDFRAME\n"
+    b"FRAME 2\n"
+    b"a second scanned frame\n"
+    b"ENDFRAME\n"
+    b"%%EOFTIFF\n"
+)
+
+
+def test_tiff_split_and_line_spans():
+    from dss_plugin_google_cloud_vision_spark.functions.tiff_extract import (
+        extract_tiff_frame,
+        split_tiff_frames,
+    )
+
+    frames = split_tiff_frames(TIFF_PAYLOAD)
+    assert len(frames) == 2
+    frame1 = extract_tiff_frame(frames[0])
+    assert frame1.frame_number == 1
+    assert frame1.text == "the quick brown fox\njumps over the lazy dog"
+    assert frame1.spans == [("line", 0, 19, 0), ("line", 20, 43, 1)]
+    assert frame1.language_code == "en"
+    frame2 = extract_tiff_frame(frames[1])
+    assert frame2.frame_number == 2
+    assert frame2.text == "a second scanned frame"
+
+
+def test_tiff_merge_round_trip():
+    from dss_plugin_google_cloud_vision_spark.functions.tiff_extract import (
+        is_tiff_payload,
+        merge_tiff_frames,
+        split_tiff_frames,
+    )
+
+    frames = split_tiff_frames(TIFF_PAYLOAD)
+    assert merge_tiff_frames(frames) == TIFF_PAYLOAD
+    assert is_tiff_payload(TIFF_PAYLOAD)
+    assert not is_tiff_payload(PDF_PAYLOAD)
+    assert not is_pdf_payload(TIFF_PAYLOAD)
+
+
+def test_tiff_split_error():
+    import pytest
+
+    from dss_plugin_google_cloud_vision_spark.errors import DocumentSplitError
+    from dss_plugin_google_cloud_vision_spark.functions.tiff_extract import split_tiff_frames
+
+    with pytest.raises(DocumentSplitError):
+        split_tiff_frames(b"II*\x00FAKE 1.0\nno frames here\n")
+
+
+def test_three_way_routing():
+    """P3 generality: one kernel call routes pdf / tiff / html payloads
+    (reference google_vision_api_formatting.py:412-418 routes three ways
+    on suffix; we route on magic bytes)."""
+    from dss_plugin_google_cloud_vision_spark.operators.pages import extract_document_typed
+
+    tiff_pages = extract_document_typed(TIFF_PAYLOAD)
+    assert [p[0] for p in tiff_pages] == [1, 2]
+    assert tiff_pages[0][1].startswith("the quick brown fox")
+    pdf_pages = extract_document_typed(PDF_PAYLOAD)
+    assert [p[0] for p in pdf_pages] == [1, 2]
+    html_pages = extract_document_typed(
+        b"<html><body><article><p>plain html body text that is long enough to keep"
+        b" for the extractor heuristics to retain it as main content</p></article></body></html>"
+    )
+    assert [p[0] for p in html_pages] == [None]
