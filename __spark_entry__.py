@@ -311,6 +311,36 @@ def q_content_topk_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_annotated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 artifact overlay as a pure column expression: two synthetic
+    half-text spans (char offsets computed identically in both engines)
+    overlaid with [[kind#id]] markers by the aggregate-fold expression."""
+    from dss_plugin_google_cloud_vision_spark.operators.artifacts import annotated_text_column
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n1 = F.floor(n / 2).cast("int")
+    len1 = F.length(F.array_join(F.slice(toks, 1, n1), " ")).cast("int")
+    spans = F.array(
+        F.struct(
+            F.lit("seg").alias("kind"),
+            F.lit(0).alias("start"),
+            len1.alias("end"),
+            F.lit(0).alias("block_id"),
+        ),
+        F.struct(
+            F.lit("seg").alias("kind"),
+            (len1 + 1).alias("start"),
+            F.length("text").cast("int").alias("end"),
+            F.lit(1).alias("block_id"),
+        ),
+    )
+    return docs.select(
+        "doc_id", annotated_text_column(F.col("text"), spans).alias("annotated")
+    )
+
+
 _LIKELIHOODS = ("VERY_UNLIKELY", "UNLIKELY", "POSSIBLE", "LIKELY", "VERY_LIKELY")
 
 
@@ -701,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unsafe_likelihoods": q_unsafe_likelihoods,
         "crop_hints_formatter": q_crop_hints_formatter,
         "web_blocklist_formatter": q_web_blocklist_formatter,
+        "annotated_spans": q_annotated_spans,
         "min_score_filter": q_min_score_filter,
         "content_topk_formatter": q_content_topk_formatter,
         "exact_dedup": q_exact_dedup,
@@ -848,6 +879,15 @@ def oracle_sql() -> dict[str, str]:
             "  [])[1:3], '|') AS label_list, "
             "count(*) AS n_lines "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "annotated_spans": (
+            "SELECT doc_id, "
+            "'[[seg#0]]' || array_to_string(toks[1:n1], ' ') || '[[/]]' || ' ' || "
+            "'[[seg#1]]' || array_to_string(toks[n1+1:n], ' ') || '[[/]]' AS annotated "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
+            " len(string_split(text, ' ')) AS n, "
+            " cast(floor(len(string_split(text, ' ')) / 2) AS int) AS n1 "
+            " FROM documents)"
         ),
         "exact_dedup": _oracles.exact_dedup_sql(),
         "minhash_candidates": _oracles.minhash_candidates_sql(),

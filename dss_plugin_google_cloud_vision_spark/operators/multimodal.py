@@ -125,18 +125,20 @@ def sample_video_frames(
         if strict:
             raise NotImplementedError(DECODE_STUB_NOTE)
         for pdf in batches:
-            out_rows = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_column]
-                size = len(payload) if payload is not None else 0
-                if size == 0:
-                    continue
-                for frame in range(n_frames):
-                    new_row = row.to_dict()
-                    new_row["frame_index"] = frame
-                    new_row["frame_offset"] = (size * frame) // n_frames
-                    out_rows.append(new_row)
-            yield pd.DataFrame(out_rows, columns=list(pdf.columns) + ["frame_index", "frame_offset"])
+            sizes = np.array(
+                [len(p) if p is not None else 0 for p in pdf[payload_column]], dtype=np.int64
+            )
+            kept = pdf.loc[sizes > 0].reset_index(drop=True)
+            if len(kept) == 0:
+                continue
+            sizes = sizes[sizes > 0]
+            # vectorized 1→N fan-out: numpy repeat/tile instead of
+            # row-at-a-time iterrows
+            out = kept.loc[np.repeat(np.arange(len(kept)), n_frames)].reset_index(drop=True)
+            frame_index = np.tile(np.arange(n_frames, dtype=np.int32), len(kept))
+            out["frame_index"] = frame_index
+            out["frame_offset"] = (np.repeat(sizes, n_frames) * frame_index) // n_frames
+            yield out
 
     return df.mapInPandas(process, schema)
 
