@@ -311,6 +311,81 @@ def q_content_topk_formatter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_induced_empties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with text blanked on doc_id % 41 == 0 — a deterministic
+    error subset for the pluggable-extract oracle checks."""
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+
+
+def q_custom_row_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/M1: a user-pluggable ROW function through extract() (the
+    drop-in parallelizer equivalent); response JSON parsed back
+    relationally; induced empty-text rows land in the error columns."""
+    from dss_plugin_google_cloud_vision_spark.errors import ExtractionError
+    from dss_plugin_google_cloud_vision_spark.operators.enrichers import token_stats_row
+    from dss_plugin_google_cloud_vision_spark.operators.extract import extract
+
+    out = extract(
+        _docs_with_induced_empties(spark, sf_dir), token_stats_row, (ExtractionError,), "stats_api"
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object("stats_api_response", "$.n_tokens").cast("bigint").alias("n_tokens"),
+        F.get_json_object("stats_api_response", "$.n_chars").cast("bigint").alias("n_chars"),
+        F.col("stats_api_error_message").alias("error_message"),
+        F.col("stats_api_error_type").alias("error_type"),
+    )
+
+
+def q_custom_batch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/M2/M3: a user-pluggable BATCH function + the default positional
+    batch-response parser, incl. error-dict routing (message/code)."""
+    from dss_plugin_google_cloud_vision_spark.errors import ExtractionError
+    from dss_plugin_google_cloud_vision_spark.operators.enrichers import token_stats_batch
+    from dss_plugin_google_cloud_vision_spark.operators.extract import extract
+
+    out = extract(
+        _docs_with_induced_empties(spark, sf_dir),
+        token_stats_batch,
+        (ExtractionError,),
+        "stats_api",
+        batch_support=True,
+        batch_size=7,
+    )
+    return out.select(
+        "doc_id",
+        F.get_json_object("stats_api_response", "$.n_tokens").cast("bigint").alias("n_tokens"),
+        F.get_json_object("stats_api_response", "$.n_chars").cast("bigint").alias("n_chars"),
+        F.col("stats_api_error_message").alias("error_message"),
+        F.col("stats_api_error_type").alias("error_type"),
+    )
+
+
+def q_unique_naming_collision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: the input already carries a ``stats_api_response`` column —
+    the engine must de-collide with the reference's numeric-suffix rule
+    (reference plugin_io_utils.py:43-62 — the suffix applies to the
+    UNPREFIXED name, so the new column is ``response_1``) and keep the
+    original untouched."""
+    from dss_plugin_google_cloud_vision_spark.errors import ExtractionError
+    from dss_plugin_google_cloud_vision_spark.operators.enrichers import token_stats_row
+    from dss_plugin_google_cloud_vision_spark.operators.extract import extract
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.lit("preexisting").alias("stats_api_response")
+    )
+    out = extract(docs, token_stats_row, (ExtractionError,), "stats_api")
+    return out.select(
+        "doc_id",
+        F.col("stats_api_response").alias("original_column"),
+        F.get_json_object("response_1", "$.n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 def q_annotated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 artifact overlay as a pure column expression: two synthetic
     half-text spans (char offsets computed identically in both engines)
@@ -658,6 +733,15 @@ def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h inactivity gap per user): lag +
+    cumulative-sum session ids, one shuffle on the key; exact epoch-micro
+    bounds per session."""
+    from dss_plugin_google_cloud_vision_spark.operators.sessions import session_stats
+
+    return session_stats(_table(spark, sf_dir, "events"))
+
+
 def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.textstats import langid_table
 
@@ -732,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_hints_formatter": q_crop_hints_formatter,
         "web_blocklist_formatter": q_web_blocklist_formatter,
         "annotated_spans": q_annotated_spans,
+        "custom_row_extract": q_custom_row_extract,
+        "custom_batch_extract": q_custom_batch_extract,
+        "unique_naming_collision": q_unique_naming_collision,
         "min_score_filter": q_min_score_filter,
         "content_topk_formatter": q_content_topk_formatter,
         "exact_dedup": q_exact_dedup,
@@ -745,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "fingerprints": q_fingerprints,
+        "session_stats": q_session_stats,
         "langid_stopword": q_langid_stopword,
         "event_windows": q_event_windows,
         "training_pipeline": q_training_pipeline,
@@ -880,6 +968,27 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_lines "
             "FROM lineitem GROUP BY l_orderkey"
         ),
+        "custom_row_extract": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 41 = 0 THEN NULL ELSE cast(len(string_split(text, ' ')) AS bigint) END AS n_tokens, "
+            "CASE WHEN doc_id % 41 = 0 THEN NULL ELSE cast(length(text) AS bigint) END AS n_chars, "
+            "CASE WHEN doc_id % 41 = 0 THEN 'empty text' ELSE '' END AS error_message, "
+            "CASE WHEN doc_id % 41 = 0 THEN "
+            " 'dss_plugin_google_cloud_vision_spark.errors.ExtractionError' ELSE '' END AS error_type "
+            "FROM documents"
+        ),
+        "custom_batch_extract": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 41 = 0 THEN NULL ELSE cast(len(string_split(text, ' ')) AS bigint) END AS n_tokens, "
+            "CASE WHEN doc_id % 41 = 0 THEN NULL ELSE cast(length(text) AS bigint) END AS n_chars, "
+            "CASE WHEN doc_id % 41 = 0 THEN 'empty text' ELSE '' END AS error_message, "
+            "CASE WHEN doc_id % 41 = 0 THEN '400' ELSE '' END AS error_type "
+            "FROM documents"
+        ),
+        "unique_naming_collision": (
+            "SELECT doc_id, 'preexisting' AS original_column, "
+            "cast(len(string_split(text, ' ')) AS bigint) AS n_tokens FROM documents"
+        ),
         "annotated_spans": (
             "SELECT doc_id, "
             "'[[seg#0]]' || array_to_string(toks[1:n1], ' ') || '[[/]]' || ' ' || "
@@ -901,6 +1010,19 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "langid_stopword": _oracles.langid_sql(),
+        "session_stats": (
+            "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            " CASE WHEN lag(ts) OVER w IS NULL "
+            "  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > cast(21600 AS bigint) * 1000000 "
+            "  THEN 1 ELSE 0 END AS ns "
+            " FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(ns) OVER ("
+            " PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq "
+            " FROM m) "
+            "SELECT user_id, cast(session_seq AS bigint) AS session_seq, count(*) AS n_events, "
+            "min(ts_us) AS start_us, max(ts_us) AS end_us "
+            "FROM s GROUP BY user_id, session_seq"
+        ),
         "skew_two_phase": (
             "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"
         ),

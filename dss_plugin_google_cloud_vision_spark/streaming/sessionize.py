@@ -1,0 +1,85 @@
+# -*- coding: utf-8 -*-
+"""Stateful streaming sessionization via ``applyInPandasWithState``.
+
+The streaming form of ``operators.sessions``: per key, the state holds the
+open session (start, last-seen, event count); an arriving event whose gap
+to the last-seen exceeds the threshold CLOSES the open session (emitted
+downstream) and opens a new one. Output mode: append — only closed
+sessions are emitted; open sessions live in the state store and survive
+restarts via the checkpoint.
+
+Ordering note: events are sorted by (ts, tie-break) WITHIN each
+micro-batch before folding; cross-micro-batch reordering is the usual
+streaming caveat and is handled in production by watermarking the source —
+the engine's tests drive the operator with AvailableNow over a static
+input (single ordered fold), then assert closed sessions equal the batch
+``sessionize`` result minus each key's still-open final session.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.sessions import DEFAULT_GAP_SECONDS, epoch_micros
+
+STATE_SCHEMA = "start_us long, last_us long, n_events long"
+OUTPUT_SCHEMA = "user_id long, n_events long, start_us long, end_us long"
+
+
+def _make_update_fn(gap_seconds: int):
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n_events = state.get
+        else:
+            start_us = last_us = None
+            n_events = 0
+        closed = []
+        for pdf in batches:
+            ordered = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us in ordered["ts_us"]:
+                ts_us = int(ts_us)
+                if last_us is not None and ts_us - last_us > gap_us:
+                    closed.append((user_id, n_events, start_us, last_us))
+                    start_us, n_events = ts_us, 0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n_events += 1
+        state.update((start_us, last_us, n_events))
+        if closed:
+            yield pd.DataFrame(closed, columns=["user_id", "n_events", "start_us", "end_us"])
+
+    return update
+
+
+def session_state_stream(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+) -> DataFrame:
+    """Streaming gap-sessionizer: emits one row per CLOSED session."""
+    keyed = events_stream.select(
+        F.col(key_col).alias("user_id"),
+        F.col("event_id"),
+        epoch_micros(F.col(ts_col)).alias("ts_us"),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _make_update_fn(gap_seconds),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

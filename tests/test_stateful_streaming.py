@@ -68,3 +68,57 @@ def test_host_state_converges_to_batch_aggregate(spark, tmp_path):
         assert got["success_count"] == exp["success_count"], host
         assert got["error_count"] == exp["error_count"], host
         assert got["last_seen"] == exp["last_seen"], host
+
+
+def test_streaming_sessionize_converges_to_batch(spark, tmp_path, sf_dir):
+    """Closed sessions emitted across two AvailableNow runs (shared
+    checkpoint; time-split increments so open sessions must survive in the
+    state store) equal the batch sessionization minus each user's final
+    still-open session."""
+    from dss_plugin_google_cloud_vision_spark.operators.sessions import session_stats
+    from dss_plugin_google_cloud_vision_spark.streaming.sessionize import session_state_stream
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(F.col("user_id") < 8)
+    cut = "2024-01-15 00:00:00"
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "sessions")
+    checkpoint = str(tmp_path / "ckpt")
+    events.filter(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema(events.schema).format("parquet").option("path", input_dir).load()
+        )
+        closed = session_state_stream(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        query = (
+            closed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        query.awaitTermination(300)
+
+    run()
+    events.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(input_dir)
+    run()
+
+    emitted = {
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    all_sessions = session_stats(events).collect()
+    last_seq = {}
+    for row in all_sessions:
+        last_seq[row["user_id"]] = max(last_seq.get(row["user_id"], 0), row["session_seq"])
+    expected_closed = {
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in all_sessions
+        if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    assert emitted == expected_closed
+    assert len(emitted) > 0
