@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import json
 import logging
-from typing import Callable, Dict, Iterable, Iterator, List, NamedTuple, Optional, Tuple, Union
+from typing import Callable, Dict, Iterable, Iterator, List, NamedTuple, Optional, Sequence, Tuple, Union
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
@@ -165,6 +165,7 @@ def extract(
     error_handling: ErrorHandling = ErrorHandling.LOG,
     verbose: bool = DEFAULT_VERBOSE,
     batch_response_parser: Optional[Callable] = None,
+    input_columns: Optional[Sequence[str]] = None,
     **function_kwargs,
 ) -> DataFrame:
     """Distributed equivalent of the reference ``parallelizer``
@@ -181,9 +182,20 @@ def extract(
 
     ``parallel_workers`` from the reference is intentionally absent:
     parallelism is Spark's task scheduling (one partition = one task).
+
+    ``input_columns`` (engine extension): when the function declares which
+    columns it reads, only those are materialized from Arrow into Python
+    row-dicts — the passthrough columns stay as Arrow arrays end-to-end.
+    On wide tables (or tables carrying binary payloads the function doesn't
+    touch) this cuts the Arrow→Python traffic to the declared subset; the
+    function sees partial row-dicts, same as a narrowed reference input df.
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if input_columns is not None:
+        missing = [c for c in input_columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"input_columns not in DataFrame: {missing}")
     column_names = build_unique_column_names(df.columns, column_prefix)
     out_cols = api_output_columns(column_names, error_handling, verbose)
     out_schema = StructType(
@@ -197,7 +209,14 @@ def extract(
 
     def process(record_batches: Iterable[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in record_batches:
-            rows = rb.to_pylist()
+            if input_columns is None:
+                rows = rb.to_pylist()
+            else:
+                columns = {name: rb.column(rb.schema.names.index(name)).to_pylist() for name in input_columns}
+                rows = [
+                    {name: columns[name][i] for name in input_columns}
+                    for i in range(rb.num_rows)
+                ]
             if batch_support:
                 results: List[Dict] = []
                 for start in range(0, len(rows), batch_size):

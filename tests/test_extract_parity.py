@@ -234,3 +234,32 @@ def test_custom_batch_response_parser(spark):
     )
     values = {r[INPUT_COLUMN]: r["test_api_response"] for r in result.collect()}
     assert values == {"hello": "HELLO", "world": "WORLD"}
+
+
+def test_input_columns_subset(spark):
+    """Column-subset mode: only declared columns cross Arrow→Python; the
+    function sees partial row-dicts; output and passthrough identical to
+    full-row mode."""
+    from dss_plugin_google_cloud_vision_spark.operators.enrichers import token_stats_row
+
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 64, "hello world"), (2, b"\xff" * 64, "a b c")],
+        ["id", "payload", "text"],
+    )
+    from dss_plugin_google_cloud_vision_spark.errors import ExtractionError
+
+    full = extract(df, token_stats_row, (ExtractionError,), "stats_api")
+    narrow = extract(
+        df, token_stats_row, (ExtractionError,), "stats_api", input_columns=["text"]
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, narrow.collect()))
+
+    def wants_payload(row):
+        assert "payload" not in row  # subset contract: undeclared columns absent
+        return "ok"
+
+    out = extract(df, wants_payload, (ExtractionError,), "x_api", input_columns=["text"])
+    assert all(r["x_api_response"] == "ok" for r in out.collect())
+
+    with pytest.raises(ValueError):
+        extract(df, token_stats_row, (ExtractionError,), "stats_api", input_columns=["nope"])
