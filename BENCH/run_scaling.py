@@ -179,6 +179,14 @@ Timing excludes session startup; best of {args.repeat} runs per level.
 | N=8 → 4N=32 | {pair_8_32['small']['docs_per_sec']} | {pair_8_32['large']['docs_per_sec']} | {pair_8_32['speedup']}x | {pair_8_32['efficiency']} |
 
 Headline (N=2 → 4N=8): **{pair_2_8['efficiency']} {'PASS' if headline >= 0.8 else 'FAIL'}** (target >= 0.8).
+{'''
+Note on efficiency > 1: at N=2 the pinned CPU pair also hosts the JVM's
+fixed thread overhead (GC, scheduler, Arrow IPC), a far larger fraction of
+2 cores than of 8 — the small-N baseline is pessimistic and the ratio can
+overshoot 1. Read together with the 8→32 pair (bounded from the other side
+by the hardware throttling ceiling below), the consistent conclusion is
+that the job tracks the machine's available per-core capacity at both
+transitions.''' if pair_2_8['efficiency'] > 1 else ''}
 
 ## Why two pairs: this VM throttles per-core speed as cores activate
 

@@ -572,6 +572,19 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs(build_dedup_corpus(spark, sf_dir))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over verified near-dup pairs (Pregel-style
+    min-label propagation; the transitive-closure step chains of pairwise
+    dedup need), checked against a DuckDB recursive CTE."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        near_dup_clusters,
+        near_dup_pairs,
+    )
+
+    pairs = near_dup_pairs(build_dedup_corpus(spark, sf_dir))
+    return near_dup_clusters(pairs.select("doc_a", "doc_b"))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.dedup import simhash_table
 
@@ -824,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_candidates": q_minhash_candidates,
         "near_dup_pairs": q_near_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1001,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _oracles.exact_dedup_sql(),
         "minhash_candidates": _oracles.minhash_candidates_sql(),
         "near_dup_pairs": _oracles.near_dup_pairs_sql(),
+        "dedup_clusters": _oracles.near_dup_clusters_sql(),
         "simhash": _oracles.simhash_sql(),
         "simhash_near_dups": _oracles.simhash_near_dup_sql(),
         "embedding_near_dups": _oracles.embedding_near_dup_sql(threshold_micro=990_000),

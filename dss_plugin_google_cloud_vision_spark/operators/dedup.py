@@ -364,3 +364,75 @@ def embedding_near_dup_pairs(
     return pairs.select("vec_a", "vec_b", cos_micro.alias("cos_micro")).filter(
         F.col("cos_micro") >= threshold_micro
     )
+
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    left_col: str = "doc_a",
+    right_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) with
+    cluster_id = min doc id reachable through the pair graph.
+
+    Pairwise near-dup output is not deduplicatable by keep-first alone —
+    chains (a~b, b~c without a~c) need the transitive closure. This is the
+    standard Pregel-style min-label propagation: each iteration joins the
+    current labels across the (undirected) edge list and keeps the
+    element-wise minimum; terminates when no label changes. Iteration
+    count is the graph diameter (near-dup clusters are shallow — a handful
+    of rounds), each round one distributed join + aggregate; the
+    convergence check is a cheap count on the changed subset.
+
+    Output: doc_id, cluster_id — every node that appears in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .unionAll(pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
+        .distinct()
+    )
+    # materialize the edge list ONCE: the loop re-reads it every iteration
+    # and ``pairs`` is usually the tail of an expensive LSH pipeline
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("neighbor_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("neighbor_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate the growing lineage
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster: drop every
+    non-representative member of every connected component; rows never
+    appearing in ``pairs`` pass through untouched."""
+    clusters = near_dup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")

@@ -32,6 +32,7 @@ from ..errors import DocumentSplitError, ErrorHandling, ExtractionError
 from ..functions.html_extract import extract_html
 from ..functions.pdf_extract import extract_pdf_page, is_pdf_payload, split_pdf_pages
 from ..functions.response import build_page_response
+from ..functions.tiff_extract import extract_tiff_frame, is_tiff_payload, split_tiff_frames
 from ..naming import generate_unique
 from .extract import extract
 
@@ -44,6 +45,11 @@ def _split_one_payload(payload) -> Optional[List[bytes]]:
     if is_pdf_payload(data):
         try:
             return split_pdf_pages(data)
+        except (DocumentSplitError, ExtractionError):
+            return None
+    if is_tiff_payload(data):
+        try:
+            return split_tiff_frames(data)
         except (DocumentSplitError, ExtractionError):
             return None
     return [data]
@@ -71,13 +77,15 @@ def split_documents(df: DataFrame, html_column: str = "html") -> DataFrame:
     null ``page_payload``."""
     page_number_col = generate_unique(PAGE_NUMBER_COLUMN, df.columns, "")
     payload_col = generate_unique(PAGE_PAYLOAD_COLUMN, df.columns, "")
-    is_pdf: Column = F.substring(F.col(html_column).cast("binary"), 1, 5) == F.lit(b"%PDF-")
+    is_multipage: Column = (
+        F.substring(F.col(html_column).cast("binary"), 1, 5) == F.lit(b"%PDF-")
+    ) | (F.substring(F.col(html_column).cast("binary"), 1, 4) == F.lit(b"II*\x00"))
     exploded = df.select(
         "*", F.posexplode_outer(_split_payload_udf()(F.col(html_column))).alias("_page_idx", payload_col)
     )
     return exploded.withColumn(
         page_number_col,
-        F.when(is_pdf & F.col(payload_col).isNotNull(), F.col("_page_idx") + 1).cast("int"),
+        F.when(is_multipage & F.col(payload_col).isNotNull(), F.col("_page_idx") + 1).cast("int"),
     ).drop("_page_idx")
 
 
@@ -93,6 +101,11 @@ def _extract_one_page(row: dict, payload_column: str = PAGE_PAYLOAD_COLUMN) -> s
     if is_pdf_payload(data):
         page = extract_pdf_page(data)
         return build_page_response(page.text, page.spans, page.language_code, page.language_confidence)
+    if is_tiff_payload(data):
+        frame = extract_tiff_frame(data)
+        return build_page_response(
+            frame.text, frame.spans, frame.language_code, frame.language_confidence
+        )
     extraction = extract_html(data)
     return build_page_response(
         extraction.text, extraction.spans, extraction.language_code, extraction.language_confidence

@@ -82,9 +82,10 @@ def minhash_candidates_sql() -> str:
     )
 
 
-def near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+def _near_dup_pairs_ctes(threshold_milli: int = 800) -> str:
+    """All CTEs up to ``pairs`` (verified near-dup pairs of the corpus)."""
     return (
-        f"WITH {CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        f"{CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
         "cand AS ("
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
         " FROM bands a JOIN bands b"
@@ -94,10 +95,35 @@ def near_dup_pairs_sql(threshold_milli: int = 800) -> str:
         " SELECT c.doc_a, c.doc_b, count(*) AS inter_size"
         " FROM cand c JOIN sh a ON a.doc_id = c.doc_a"
         " JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
-        " GROUP BY c.doc_a, c.doc_b) "
-        "SELECT i.doc_a, i.doc_b, i.inter_size, sa.n + sb.n - i.inter_size AS union_size "
-        "FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b "
-        f"WHERE i.inter_size * 1000 >= {threshold_milli} * (sa.n + sb.n - i.inter_size)"
+        " GROUP BY c.doc_a, c.doc_b), "
+        "pairs AS ("
+        " SELECT i.doc_a, i.doc_b, i.inter_size, sa.n + sb.n - i.inter_size AS union_size"
+        " FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b"
+        f" WHERE i.inter_size * 1000 >= {threshold_milli} * (sa.n + sb.n - i.inter_size))"
+    )
+
+
+def near_dup_pairs_sql(threshold_milli: int = 800) -> str:
+    return (
+        f"WITH {_near_dup_pairs_ctes(threshold_milli)} "
+        "SELECT doc_a, doc_b, inter_size, union_size FROM pairs"
+    )
+
+
+def near_dup_clusters_sql(threshold_milli: int = 800) -> str:
+    """Connected components over the verified near-dup pairs: min reachable
+    id per node, via a recursive CTE (mirrors
+    operators.dedup.near_dup_clusters' min-label propagation fixpoint)."""
+    return (
+        f"WITH RECURSIVE {_near_dup_pairs_ctes(threshold_milli)}, "
+        "edges AS ("
+        " SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b AS src, doc_a AS dst FROM pairs), "
+        "reach(node, label) AS ("
+        " SELECT src AS node, src AS label FROM edges"
+        " UNION"
+        " SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node) "
+        "SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node"
     )
 
 

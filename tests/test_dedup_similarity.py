@@ -109,3 +109,25 @@ def test_incremental_exact_dedup_across_runs(spark, tmp_path):
 
     # re-ingesting increment 2 is a no-op
     assert incremental_exact_dedup(spark, inc2, out) == 3
+
+
+def test_near_dup_clusters_chain(spark):
+    """Transitive closure: a~b, b~c (no a~c pair) must land in ONE cluster;
+    keep-one-per-cluster drops both non-representatives."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        dedup_by_clusters,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],  # chain + pair + dup edge
+        "doc_a int, doc_b int",
+    )
+    clusters = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(pairs).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 10, 11, 20, 21, 99)], "doc_id int, text string"
+    )
+    kept = {r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect()}
+    assert kept == {1, 10, 20, 99}

@@ -127,3 +127,40 @@ def test_empty_input_guard(spark):
     # default: lazy pipelines tolerate empty inputs
     plan = run_extraction_pipeline(empty)
     assert plan.pages.count() == 0
+
+
+def test_tiff_exploded_matches_fused(spark):
+    """Three-way routing parity: TIFF payloads through the explicit
+    split→extract→merge path equal the fused pipeline's document output."""
+    from dss_plugin_google_cloud_vision_spark.sources.render import documents_as_tiff_pages
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}w{j}" for j in range(12)), "en") for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    pages = documents_as_tiff_pages(docs)
+
+    exploded = extract_split_pages(split_documents(pages))
+    parsed = exploded.withColumn(
+        "t",
+        F.coalesce(
+            F.from_json("document_text_api_response", RESPONSE_DDL)["fullTextAnnotation"]["text"],
+            F.lit(""),
+        ),
+    )
+    merged_explicit = {
+        r["url"]: (r["page_count"], r["doc_text"])
+        for r in merge_documents(parsed, text_column="t", page_separator=PAGE_SEPARATOR).collect()
+    }
+    fused = {
+        r["url"]: (r["page_count"], r["doc_text"])
+        for r in run_extraction_pipeline(pages).documents.collect()
+    }
+    assert merged_explicit == fused
+    assert all(count == 2 for count, _ in fused.values())
+    # byte identity: half1 \f half2 of the source text
+    for row in docs.collect():
+        toks = row["text"].split(" ")
+        expected = " ".join(toks[:6]) + PAGE_SEPARATOR + " ".join(toks[6:])
+        url = f"https://docs.example.org/en/doc-{row['doc_id']}.tiff"
+        assert fused[url][1] == expected
