@@ -52,6 +52,14 @@ _STOPWORD_SETS: Tuple[Tuple[str, frozenset], ...] = tuple(
     (code, frozenset(words)) for code, words in LANG_STOPWORDS.items()
 )
 
+# inverted index token → language codes claiming it: one dict probe per
+# distinct token instead of one set-membership test per language
+_STOPWORD_CODES: dict = {}
+for _code, _words in LANG_STOPWORDS.items():
+    for _w in _words:
+        _STOPWORD_CODES.setdefault(_w, []).append(_code)
+_LANG_ORDER: Tuple[str, ...] = tuple(LANG_STOPWORDS.keys())
+
 
 def guess_language(text: str) -> Tuple[str, float]:
     """Return (language_code, confidence in [0,1]) for ``text``.
@@ -99,9 +107,18 @@ def guess_language(text: str) -> Tuple[str, float]:
     from collections import Counter
 
     counts = Counter(tokens)
+    # inverted index: one probe per distinct token; tie-break identical to
+    # the per-language loop (earlier language wins on equal hits)
+    per_code: dict = {}
+    lookup = _STOPWORD_CODES
+    for token, n in counts.items():
+        codes = lookup.get(token)
+        if codes:
+            for code in codes:
+                per_code[code] = per_code.get(code, 0) + n
     best_code, best_hits = "", 0
-    for code, stopword_set in _STOPWORD_SETS:
-        hits = sum(n for t, n in counts.items() if t in stopword_set)
+    for code in _LANG_ORDER:
+        hits = per_code.get(code, 0)
         if hits > best_hits:
             best_code, best_hits = code, hits
     if best_hits == 0:

@@ -200,23 +200,32 @@ def extract_pages_typed(
             indices: List[int] = []
             page_numbers: List[Optional[int]] = []
             texts: List[Optional[str]] = []
-            spans: List[Optional[list]] = []
             lang_codes: List[Optional[str]] = []
             lang_scores: List[Optional[float]] = []
             error_messages: List[str] = []
             error_types: List[str] = []
+            # spans are built COLUMNARLY (flat value buffers + list offsets,
+            # null offset = null list) — no per-span Python dict; this is
+            # the typed path's whole point and measured ~2x on the stage
+            span_kinds: List[str] = []
+            span_starts: List[int] = []
+            span_ends: List[int] = []
+            span_block_ids: List[int] = []
+            span_offsets: List[int] = [0]
+            span_is_null: List[bool] = []
             for i, payload in enumerate(payloads):
                 try:
                     for page_number, text, page_spans, code, score in extract_document_typed(payload):
                         indices.append(i)
                         page_numbers.append(page_number)
                         texts.append(text)
-                        spans.append(
-                            [
-                                {"kind": k, "start": s, "end": e, "block_id": b}
-                                for (k, s, e, b) in page_spans
-                            ]
-                        )
+                        for (k, s, e, b) in page_spans:
+                            span_kinds.append(k)
+                            span_starts.append(s)
+                            span_ends.append(e)
+                            span_block_ids.append(b)
+                        span_offsets.append(len(span_kinds))
+                        span_is_null.append(False)
                         lang_codes.append(code)
                         lang_scores.append(score if code else None)
                         error_messages.append("")
@@ -227,11 +236,26 @@ def extract_pages_typed(
                     indices.append(i)
                     page_numbers.append(None)
                     texts.append(None)
-                    spans.append(None)
+                    span_offsets.append(len(span_kinds))  # empty slice; mask marks null
+                    span_is_null.append(True)
                     lang_codes.append(None)
                     lang_scores.append(None)
                     error_messages.append(str(error))
                     error_types.append(qualified_error_type(error))
+            span_values = pa.StructArray.from_arrays(
+                [
+                    pa.array(span_kinds, type=pa.string()),
+                    pa.array(span_starts, type=pa.int32()),
+                    pa.array(span_ends, type=pa.int32()),
+                    pa.array(span_block_ids, type=pa.int32()),
+                ],
+                names=["kind", "start", "end", "block_id"],
+            )
+            spans_array = pa.ListArray.from_arrays(
+                pa.array(span_offsets, type=pa.int32()),
+                span_values,
+                mask=pa.array(span_is_null, type=pa.bool_()),
+            )
             take_idx = pa.array(indices, type=pa.int64())
             arrays = [
                 rb.column(rb.schema.names.index(name)).take(take_idx)
@@ -239,7 +263,7 @@ def extract_pages_typed(
             ]
             arrays.append(pa.array(page_numbers, type=pa.int32()))
             arrays.append(pa.array(texts, type=pa.string()))
-            arrays.append(pa.array(spans, type=TYPED_SPAN_TYPE))
+            arrays.append(spans_array)
             arrays.append(pa.array(lang_codes, type=pa.string()))
             arrays.append(pa.array(lang_scores, type=pa.float64()))
             arrays.append(pa.array(error_messages, type=pa.string()))
