@@ -645,6 +645,14 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _table(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.textstats import (
         regex_token_count,
@@ -667,6 +675,7 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.textstats import (
         fingerprint_column,
+        rolling_hash_column,
         shingle_fingerprint_column,
     )
 
@@ -674,6 +683,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_column().alias("doc_md5"),
         shingle_fingerprint_column().alias("shingle_fp"),
+        rolling_hash_column().alias("rolling_hash"),
     )
 
 
@@ -843,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "ann_topk": q_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "fingerprints": q_fingerprints,
@@ -1021,6 +1032,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _oracles.embedding_near_dup_sql(threshold_micro=990_000),
         "ann_topk": _oracles.ann_topk_sql(),
         "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
+        "ivf_topk": _oracles.ivf_topk_sql(),
         "token_counts": _oracles.token_count_sql(),
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),

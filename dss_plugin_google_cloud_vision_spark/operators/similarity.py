@@ -162,3 +162,76 @@ def hyperplane_band_keys(
             )
         keys.append(sum(terms[1:], terms[0]).cast("int"))
     return keys
+
+
+def sample_centroids(
+    df: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> List[List[float]]:
+    """Deterministic coarse-quantizer codebook: the ``n_centroids``
+    lowest-id vectors (a stand-in for offline k-means training — real IVF
+    codebooks are trained out-of-band and shipped to the job exactly like
+    this, as a small literal table)."""
+    rows = df.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    return [[float(v) for v in row[0]] for row in rows]
+
+
+def ivf_cell_column(vec_col: Column, centroids: List[List[float]]) -> Column:
+    """Coarse-quantizer cell id: argmax dot(vec, centroid), ties to the
+    lower cell id — one projection over centroid literals, NO shuffle of
+    the corpus (lexicographic min over (−dot, cid) structs)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (-dot_product(vec_col, F.array(*[F.lit(v) for v in c]))).alias("negdot"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    return F.array_min(scored)["cid"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    sampled centroid (cell), probe only the query's ``n_probe`` nearest
+    cells, re-rank candidates with exact cosine.
+
+    Scale shape: cell assignment is a narrow map over centroid literals
+    (at ingest time you would persist/partition by the cell column);
+    search scans ~n_probe/n_centroids of the corpus and ends in
+    TakeOrderedAndProject. Probe selection runs on the driver over the
+    same centroid doubles with the same left-fold order as the engines,
+    so the DuckDB oracle's fully-relational mirror agrees bit-for-bit.
+    Output: vec_id, cos_micro, rank."""
+    from pyspark.sql import Window
+
+    centroids = sample_centroids(df, n_centroids, id_col, vec_col)
+
+    def fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    probe_order = sorted(
+        range(len(centroids)), key=lambda cid: (-fold_dot(query_vector, centroids[cid]), cid)
+    )
+    probes = set(probe_order[:n_probe])
+    query = F.array(*[F.lit(float(v)) for v in query_vector])
+    candidates = df.select(
+        F.col(id_col), F.col(vec_col), ivf_cell_column(F.col(vec_col), centroids).alias("cell")
+    ).filter(F.col("cell").isin(*probes))
+    rescored = candidates.select(
+        F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
+    )
+    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -76,11 +76,37 @@ def fingerprint_column(text_col: str = "text") -> Column:
 
 def shingle_fingerprint_column(text_col: str = "text", k: int = 5) -> Column:
     """Content-defined fingerprint robust to document order: the minimum
-    md5 over k-gram token shingles (a 1-hash MinHash) — the rolling-hash
-    document fingerprint for near-dup blocking."""
+    md5 over k-gram token shingles (a 1-hash MinHash) — the document
+    fingerprint for near-dup blocking."""
     from .dedup import shingles_column
 
     return F.array_min(F.transform(shingles_column(text_col, k), lambda s: F.md5(s)))
+
+
+ROLLING_HASH_MOD = (1 << 31) - 1  # Mersenne prime; 256 * mod fits in int64
+ROLLING_HASH_BASE = 256
+
+
+def rolling_hash_column(text_col: str = "text") -> Column:
+    """Karp–Rabin rolling hash of the whole text: the polynomial
+    ``sum(cp_i * base^(n-1-i)) mod 2^31-1`` over the code points, computed
+    as a left fold ``acc = (acc*256 + cp) % m`` — every intermediate fits
+    in int64, so Spark and DuckDB agree bit-for-bit (the DuckDB mirror's
+    ``list_reduce`` seeds with the first element, which equals the
+    zero-seeded fold since cp < m). The streaming form of document
+    fingerprinting: a content-defined chunker extends the same recurrence
+    one position at a time."""
+    text = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.length(text))
+    fold = F.aggregate(
+        positions,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: (
+            acc * ROLLING_HASH_BASE + F.ascii(F.substr(text, i, F.lit(1)))
+        )
+        % ROLLING_HASH_MOD,
+    )
+    return F.when(F.length(text) > 0, fold).otherwise(F.lit(0)).cast("bigint")
 
 
 def langid_hit_columns(text_col: str = "text") -> Dict[str, Column]:

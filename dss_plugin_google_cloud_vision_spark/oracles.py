@@ -285,6 +285,38 @@ def lsh_ann_topk_sql(query_vec_id: int = 0, k: int = 10, n_planes: int = 8, n_ba
     )
 
 
+def ivf_topk_sql(
+    query_vec_id: int = 0, k: int = 10, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    """Fully-relational mirror of operators.similarity.ivf_topk: sampled
+    centroid codebook (lowest ids), argmax-dot cell assignment, probe the
+    query's n_probe nearest cells, exact-cosine re-rank. Identical double
+    fold order on both engines → identical cells, probes and ranks."""
+    assign_dot = DOT.format(a="e.embedding", b="c.cvec")
+    probe_dot = DOT.format(a="q.qv", b="c.cvec")
+    return (
+        "WITH cents AS ("
+        " SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec"
+        f" FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})), "
+        "assigned AS ("
+        " SELECT vec_id, embedding, cell FROM ("
+        "  SELECT e.vec_id, e.embedding, c.cid AS cell,"
+        f"   row_number() OVER (PARTITION BY e.vec_id ORDER BY {assign_dot} DESC, c.cid) AS rn"
+        "  FROM embeddings e, cents c) WHERE rn = 1), "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        "probes AS ("
+        " SELECT cid FROM ("
+        f"  SELECT c.cid, row_number() OVER (ORDER BY {probe_dot} DESC, c.cid) AS pr"
+        f"  FROM cents c, q) WHERE pr <= {n_probe}), "
+        "cand AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probes p ON a.cell = p.cid), "
+        f"scored AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro FROM cand, q) "
+        "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
 def token_count_sql() -> str:
     return (
         "SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens, "
@@ -310,12 +342,21 @@ def quality_sql() -> str:
 
 
 def fingerprint_sql(k: int = 5) -> str:
+    from .operators.textstats import ROLLING_HASH_BASE, ROLLING_HASH_MOD
+
     parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
+    rolling = (
+        "CASE WHEN length(text) = 0 THEN 0 ELSE "
+        "list_reduce(list_transform(generate_series(1, length(text)),"
+        " i -> cast(ord(substring(text, i, 1)) AS bigint)),"
+        f" (acc, v) -> (acc * {ROLLING_HASH_BASE} + v) % {ROLLING_HASH_MOD}) END"
+    )
     return (
         "SELECT doc_id, md5(text) AS doc_md5, "
         f"list_min(list_transform(CASE WHEN len(tokens) >= {k}"
         f" THEN list_transform(generate_series(1, len(tokens)-{k - 1}), i -> {parts})"
-        " ELSE [text] END, s -> md5(s))) AS shingle_fp "
+        " ELSE [text] END, s -> md5(s))) AS shingle_fp, "
+        f"cast({rolling} AS bigint) AS rolling_hash "
         "FROM (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents)"
     )
 

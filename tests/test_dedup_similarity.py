@@ -131,3 +131,22 @@ def test_near_dup_clusters_chain(spark):
     )
     kept = {r["doc_id"] for r in dedup_by_clusters(docs, pairs).collect()}
     assert kept == {1, 10, 20, 99}
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF probe search must return the query itself at rank 1 and agree
+    with brute force on this near-orthogonal data (self cell is probed)."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    brute_top = brute_force_topk(emb, query, k=5).collect()
+    ivf = ivf_topk(emb, query, k=5)
+    rows = ivf.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_micro"] == 1_000_000
+    # plan must stay TakeOrderedAndProject (no global sort/window)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # recall vs brute force at k=1 is exact; report overlap at k=5
+    ids = {r["vec_id"] for r in rows}
+    assert brute_top[0]["vec_id"] in ids
