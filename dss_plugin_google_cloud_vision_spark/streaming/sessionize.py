@@ -31,7 +31,7 @@ STATE_SCHEMA = "start_us long, last_us long, n_events long"
 OUTPUT_SCHEMA = "user_id long, n_events long, start_us long, end_us long"
 
 
-def _make_update_fn(gap_seconds: int):
+def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
     gap_us = int(gap_seconds) * 1_000_000
 
     def update(
@@ -40,6 +40,16 @@ def _make_update_fn(gap_seconds: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if event_time_timeout and state.hasTimedOut:
+            # idle flush: the watermark passed last_us + gap with no new
+            # events for this key — close the open session and drop state
+            start_us, last_us, n_events = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, n_events, start_us, last_us)],
+                columns=["user_id", "n_events", "start_us", "end_us"],
+            )
+            return
         if state.exists:
             start_us, last_us, n_events = state.get
         else:
@@ -58,6 +68,8 @@ def _make_update_fn(gap_seconds: int):
                 last_us = ts_us
                 n_events += 1
         state.update((start_us, last_us, n_events))
+        if event_time_timeout and last_us is not None:
+            state.setTimeoutTimestamp(last_us // 1000 + int(gap_seconds) * 1000)
         if closed:
             yield pd.DataFrame(closed, columns=["user_id", "n_events", "start_us", "end_us"])
 
@@ -69,17 +81,41 @@ def session_state_stream(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = DEFAULT_GAP_SECONDS,
+    event_time_timeout: bool = False,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
-    """Streaming gap-sessionizer: emits one row per CLOSED session."""
-    keyed = events_stream.select(
+    """Streaming gap-sessionizer: emits one row per CLOSED session.
+
+    With ``event_time_timeout=True`` the input is watermarked on
+    ``ts_col`` and a session with no successor event also flushes once the
+    watermark passes ``last_event + gap`` (idle keys would otherwise hold
+    state forever); a closing event and an idle timeout produce the SAME
+    session row."""
+    source = events_stream
+    timeout = GroupStateTimeout.NoTimeout
+    if event_time_timeout:
+        # the watermark clock is TIMESTAMP (tz-aware); our session epochs
+        # are NTZ wall-clock — they coincide only under a UTC session
+        # timezone (which eng.session.get_spark always sets)
+        tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"event_time_timeout requires spark.sql.session.timeZone=UTC, got {tz}"
+            )
+        source = source.withColumn("_wm_ts", F.col(ts_col).cast("timestamp")).withWatermark(
+            "_wm_ts", watermark_delay
+        )
+        timeout = GroupStateTimeout.EventTimeTimeout
+    keyed = source.select(
         F.col(key_col).alias("user_id"),
         F.col("event_id"),
         epoch_micros(F.col(ts_col)).alias("ts_us"),
+        *([F.col("_wm_ts")] if event_time_timeout else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
-        _make_update_fn(gap_seconds),
+        _make_update_fn(gap_seconds, event_time_timeout),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -122,3 +122,62 @@ def test_streaming_sessionize_converges_to_batch(spark, tmp_path, sf_dir):
     }
     assert emitted == expected_closed
     assert len(emitted) > 0
+
+
+def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
+    """Idle sessions flush via event-time timeout: a user with no further
+    events is closed once OTHER keys' events advance the watermark past
+    last_event + gap (no closing event needed)."""
+    from datetime import datetime
+
+    from dss_plugin_google_cloud_vision_spark.streaming.sessionize import session_state_stream
+
+    schema = "event_id long, user_id long, ts timestamp_ntz"
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "closed")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).format("parquet").option("path", input_dir).load()
+        closed = session_state_stream(stream, gap_seconds=21600, event_time_timeout=True)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            closed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # run 1: user 1 (2 events, will go idle) and user 2 (2 events)
+    write([(1, 1, t(0)), (2, 1, t(0, 30)), (3, 2, t(0)), (4, 2, t(1))])
+    run()
+    # run 2: only user 2 returns, 10h later → user 2's first session closes
+    # by the gap rule; the batch advances the watermark to 10:00
+    write([(5, 2, t(10))])
+    run()
+    # run 3: an unrelated key's event triggers a batch; user 1 is idle and
+    # its timeout (00:30 + 6h = 06:30) < watermark (10:00) → flushed
+    write([(6, 3, t(20))])
+    run()
+
+    emitted = {
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    us = lambda h, m=0: (1704067200 + h * 3600 + m * 60) * 1_000_000  # noqa: E731
+    assert (2, 2, us(0), us(1)) in emitted  # user 2 session 1, gap-closed
+    assert (1, 2, us(0), us(0, 30)) in emitted  # user 1, timeout-flushed
+    # run 3's own event advances the watermark to 20:00 and AvailableNow
+    # runs a trailing timeout batch: user 2's idle session (timeout 16:00)
+    # flushes as well; user 3 (timeout 26:00) stays open in state
+    assert (2, 1, us(10), us(10)) in emitted
+    assert len(emitted) == 3
