@@ -93,3 +93,41 @@ def test_datagen_total_and_consistent(i):
     results = extract_document(page["html"])
     texts = [json.loads(r)["fullTextAnnotation"]["text"] for _, r in results]
     assert texts == expected["page_texts"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_characters="\n", blacklist_categories=("Cs",)),
+                min_size=1,
+                max_size=40,
+            ).filter(lambda s: s not in ("ENDFRAME", "%%EOFTIFF") and not s.startswith("FRAME ")),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_tiff_build_split_merge_round_trip(frames):
+    """Property: build → split → merge is the identity, and per-frame
+    extraction recovers every line verbatim with correct span offsets."""
+    from dss_plugin_google_cloud_vision_spark.functions.tiff_extract import (
+        build_tiff_payload,
+        extract_tiff_frame,
+        merge_tiff_frames,
+        split_tiff_frames,
+    )
+
+    payload = build_tiff_payload(frames)
+    parts = split_tiff_frames(payload)
+    assert len(parts) == len(frames)
+    assert merge_tiff_frames(parts) == payload
+    for ordinal, (part, lines) in enumerate(zip(parts, frames), start=1):
+        frame = extract_tiff_frame(part)
+        assert frame.frame_number == ordinal
+        assert frame.text == "\n".join(lines)
+        for span, line in zip(frame.spans, lines):
+            assert frame.text[span[1] : span[2]] == line
