@@ -712,6 +712,30 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition, oracle-checked end-to-end: render (with
+    planted exact AND near duplicates) → extraction → quality gate →
+    exact dedup → MinHash-LSH near-dup pairs → connected-component
+    collapse → per-lang corpus stats."""
+    from dss_plugin_google_cloud_vision_spark.plans.curation import curate_corpus
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz extra suffix token")).alias("text"),
+        "lang",
+    )
+    exact = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    )
+    pages = documents_as_pages(docs.unionAll(near).unionAll(exact))
+    curated = curate_corpus(pages)
+    return curated.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def q_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed politeness scheduling (the reference's rate limiter,
     M5, as deterministic slot assignment): 5 fetches per host per period."""
@@ -861,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_stopword": q_langid_stopword,
         "event_windows": q_event_windows,
         "training_pipeline": q_training_pipeline,
+        "curation_pipeline": q_curation_pipeline,
         "skew_two_phase": q_skew_two_phase,
         "politeness_slots": q_politeness_slots,
         # rows-only (no oracle entry): non-SQL-expressible surfaces
@@ -1075,6 +1100,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.doc_id, g.lang, g.n_tokens FROM gated g "
             "JOIN keepers k ON g.text = k.text AND g.doc_id = k.keep"
         ),
+        "curation_pipeline": _oracles.curation_pipeline_sql(),
         "event_windows": (
             # day as yyyy-MM-dd string + outer bigint cast (sum(BIGINT) is
             # HUGEINT in DuckDB) — both round-1 hash-mismatch causes

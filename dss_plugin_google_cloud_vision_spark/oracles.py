@@ -82,10 +82,12 @@ def minhash_candidates_sql() -> str:
     )
 
 
-def _near_dup_pairs_ctes(threshold_milli: int = 800) -> str:
-    """All CTEs up to ``pairs`` (verified near-dup pairs of the corpus)."""
+def _near_dup_pairs_ctes(threshold_milli: int = 800, corpus_cte: str = CORPUS_CTE) -> str:
+    """All CTEs up to ``pairs`` (verified near-dup pairs of the corpus
+    defined by ``corpus_cte``, which must define a CTE named ``corpus``
+    with at least (doc_id, text))."""
     return (
-        f"{CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        f"{corpus_cte}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
         "cand AS ("
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
         " FROM bands a JOIN bands b"
@@ -314,6 +316,45 @@ def ivf_topk_sql(
         "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
         " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
         f"WHERE rank <= {k}"
+    )
+
+
+CURATED_CORPUS_CTE = (
+    "corpus0 AS ("
+    " SELECT doc_id, text, lang FROM documents"
+    " UNION ALL"
+    " SELECT doc_id + 100000 AS doc_id, text || ' zzz extra suffix token' AS text, lang"
+    "  FROM documents WHERE doc_id % 20 = 0"
+    " UNION ALL"
+    " SELECT doc_id + 200000 AS doc_id, text, lang FROM documents WHERE doc_id % 25 = 0), "
+    "gated AS ("
+    " SELECT doc_id, text, lang, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens"
+    " FROM corpus0 WHERE len(string_split(text, ' ')) >= 20), "
+    "keepers AS (SELECT text, min(doc_id) AS keep FROM gated GROUP BY text), "
+    "corpus AS ("
+    " SELECT g.doc_id, g.text, g.lang, g.n_tokens FROM gated g"
+    " JOIN keepers k ON g.text = k.text AND g.doc_id = k.keep)"
+)
+
+
+def curation_pipeline_sql(threshold_milli: int = 800) -> str:
+    """Mirror of plans.curation.curate_corpus over the rendered corpus:
+    quality gate → exact keep-first → MinHash-LSH near-dup pairs →
+    connected-component collapse (recursive CTE) → per-lang stats."""
+    return (
+        f"WITH RECURSIVE {_near_dup_pairs_ctes(threshold_milli, CURATED_CORPUS_CTE)}, "
+        "edges AS ("
+        " SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b AS src, doc_a AS dst FROM pairs), "
+        "reach(node, label) AS ("
+        " SELECT src AS node, src AS label FROM edges"
+        " UNION"
+        " SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node), "
+        "losers AS ("
+        " SELECT node FROM (SELECT node, min(label) AS cluster FROM reach GROUP BY node)"
+        " WHERE node <> cluster) "
+        "SELECT lang, count(*) AS n_docs, cast(sum(n_tokens) AS bigint) AS total_tokens "
+        "FROM corpus WHERE doc_id NOT IN (SELECT node FROM losers) GROUP BY lang"
     )
 
 

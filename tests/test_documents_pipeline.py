@@ -164,3 +164,28 @@ def test_tiff_exploded_matches_fused(spark):
         expected = " ".join(toks[:6]) + PAGE_SEPARATOR + " ".join(toks[6:])
         url = f"https://docs.example.org/en/doc-{row['doc_id']}.tiff"
         assert fused[url][1] == expected
+
+
+def test_curate_corpus_removes_planted_duplicates(spark):
+    """End-to-end curation: exact copies AND near copies (suffix edit)
+    collapse to the original; short docs gated out; stats preserved."""
+    from dss_plugin_google_cloud_vision_spark.plans.curation import curate_corpus
+    from dss_plugin_google_cloud_vision_spark.sources.render import documents_as_pages
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"w{i} and the river market stone".split()[i % 5] + str(i) for i in range(25))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, other, "en"),
+            (3, "too short", "en"),  # gated out (< 20 tokens)
+            (101, base, "en"),  # exact copy of 1
+            (102, base + " zzz extra suffix token", "en"),  # near copy of 1
+        ],
+        "doc_id long, text string, lang string",
+    )
+    curated = curate_corpus(documents_as_pages(docs))
+    rows = {r["doc_id"]: r for r in curated.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["text"] == base  # byte-identical through extraction
+    assert rows[1]["n_tokens"] == 30
