@@ -76,3 +76,31 @@ def test_snapshot_resume_exactly_once(spark, tmp_path):
     # re-running the full input again is a no-op increment
     third = run_with_snapshot_resume(spark, pages, build, log, run_id="r3")
     assert third["snapshot_keys"] == second["snapshot_keys"]
+
+
+def test_binary_file_ingest_to_extraction(spark, tmp_path):
+    """S3 ingest loop: a folder of blobs → binaryFile scan → pages shape →
+    the fused extraction stage, with scan-time extension pruning."""
+    from dss_plugin_google_cloud_vision_spark.sources.ingest import pages_from_binary_files
+
+    folder = tmp_path / "blobs"
+    folder.mkdir()
+    body = (
+        "<html><body><article><p>a long enough paragraph of body text that the "
+        "extractor keeps as the main content of the page</p></article></body></html>"
+    )
+    (folder / "a.html").write_text(body)
+    (folder / "b.html").write_text(body.replace("body text", "other text"))
+    (folder / "skip.txt").write_text("not a page")
+
+    pages = pages_from_binary_files(spark, str(folder), glob="*.html")
+    assert pages.count() == 2  # .txt pruned at scan time
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+    extracted = extract_pages(pages, drop_payload=True)
+    rows = {r["url"].split("/")[-1]: r for r in extracted.collect()}
+    assert rows["a.html"]["content_api_error_message"] == ""
+    import json
+
+    text = json.loads(rows["a.html"]["content_api_response"])["fullTextAnnotation"]["text"]
+    assert "long enough paragraph of body text" in text
