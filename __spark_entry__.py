@@ -392,7 +392,10 @@ def q_annotated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlaid with [[kind#id]] markers by the aggregate-fold expression."""
     from dss_plugin_google_cloud_vision_spark.operators.artifacts import annotated_text_column
 
-    docs = _table(spark, sf_dir, "documents")
+    # n >= 2 on BOTH sides: the two-span construction assumes a space
+    # separator between the halves (1-token docs have none — latent
+    # oracle trap if the datagen floor ever drops below 2 tokens)
+    docs = _table(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 2)
     toks = F.split(F.col("text"), " ")
     n = F.size(toks)
     n1 = F.floor(n / 2).cast("int")
@@ -1046,7 +1049,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
             " len(string_split(text, ' ')) AS n, "
             " cast(floor(len(string_split(text, ' ')) / 2) AS int) AS n1 "
-            " FROM documents)"
+            " FROM documents WHERE len(string_split(text, ' ')) >= 2)"
         ),
         "exact_dedup": _oracles.exact_dedup_sql(),
         "minhash_candidates": _oracles.minhash_candidates_sql(),

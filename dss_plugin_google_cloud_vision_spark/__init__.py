@@ -16,14 +16,23 @@ batched, vectorized extraction inside ``mapInArrow`` stages:
   contract, unique column naming and column-ordering rules.
 - ``functions.html_extract`` — deterministic DOM-based main-content
   extraction (text-density / link-density boilerplate scoring).
-- ``functions.pdf_extract`` — deterministic layout-block ordering for
-  PDF-like binary payloads (split/explode/merge path).
+- ``functions.pdf_extract`` / ``functions.tiff_extract`` — deterministic
+  multi-page payload parsing (three-way magic-byte routing: pdf / tiff /
+  html, the reference's suffix routing).
 - ``operators.formatters`` — the five response-formatter projections as
-  Spark column-expression builders.
-- ``operators.resume`` — checkpoint-resume anti-join + per-partition
-  lineage metrics.
+  Spark column-expression builders (incl. an opt-in replica of the
+  reference's content-list sort bug).
+- ``operators.artifacts`` — S6 span-overlay artifact column + executor-side
+  blob sink.
+- ``operators.resume`` / ``sources.snapshots`` — checkpoint-resume
+  anti-join, per-partition lineage metrics, and an Iceberg-analogue
+  snapshot log (atomic manifests, time travel).
 - ``operators.dedup`` / ``operators.similarity`` / ``operators.textstats``
-  — large-scale training-data pipeline operators (dedup, ANN, text QA).
+  / ``operators.sessions`` — large-scale training-data pipeline operators
+  (dedup incl. LSH blocking + connected-component collapse, ANN
+  brute/LSH/IVF, text QA, sessionization).
+- ``plans.curation`` — the end-to-end corpus-curation composition.
+- ``config`` — F8 job-parameter validation with the reference's ranges.
 
 Nothing here imports from the reference; all semantics are re-derived from
 its observable behavior and re-implemented Spark-first.

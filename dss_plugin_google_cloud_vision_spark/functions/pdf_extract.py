@@ -68,6 +68,8 @@ def split_pdf_pages(payload: bytes) -> List[bytes]:
     current: List[str] = None
     for line in lines[1:]:
         if _PAGE_RE.match(line):
+            if current is not None:
+                raise DocumentSplitError("PAGE while previous page unterminated")
             current = [line]
             pages.append(current)
         elif line == "ENDPAGE":

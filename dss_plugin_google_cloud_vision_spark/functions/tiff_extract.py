@@ -55,11 +55,18 @@ def is_tiff_payload(payload: bytes) -> bool:
 
 def build_tiff_payload(frame_texts: List[List[str]]) -> bytes:
     """Assemble a multi-frame payload from per-frame line lists (datagen /
-    test helper; the inverse of split+extract)."""
+    test helper; the inverse of split+extract). The line-oriented container
+    cannot carry content lines that collide with its own markers — such
+    lines are rejected here rather than silently corrupting the round trip."""
     lines = [FAKE_HEADER]
     for ordinal, frame_lines in enumerate(frame_texts, start=1):
         lines.append(f"FRAME {ordinal}")
-        lines.extend(frame_lines)
+        for line in frame_lines:
+            if line in ("ENDFRAME", EOF_MARKER, FAKE_HEADER) or _FRAME_RE.match(line):
+                raise ValueError(f"frame line collides with a container marker: {line!r}")
+            if LINE_SEPARATOR in line:
+                raise ValueError("frame lines must not contain newlines")
+            lines.append(line)
         lines.append("ENDFRAME")
     lines.append(EOF_MARKER)
     return (LINE_SEPARATOR.join(lines) + LINE_SEPARATOR).encode("utf-8")
@@ -78,6 +85,8 @@ def split_tiff_frames(payload: bytes) -> List[bytes]:
     current: List[str] = None
     for line in lines[1:]:
         if _FRAME_RE.match(line):
+            if current is not None:
+                raise DocumentSplitError("FRAME while previous frame unterminated")
             current = [line]
             frames.append(current)
         elif line == "ENDFRAME":

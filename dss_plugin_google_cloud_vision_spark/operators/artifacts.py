@@ -71,8 +71,12 @@ def annotated_text_column(text: Column, spans: Column) -> Column:
 
 
 def strip_annotations(annotated: Column) -> Column:
-    """Inverse overlay (markers are insertions only, so stripping them
-    recovers the original text byte-for-byte — asserted in tests)."""
+    """Inverse overlay: markers are insertions only, so stripping them
+    recovers the original text byte-for-byte PROVIDED the source text
+    itself contains no marker-shaped substrings (``[[kind#N]]`` /
+    ``[[/]]``) — the same caveat as any in-band overlay, matching the
+    reference's pixel overlays which are lossy outright
+    (api_image_formatting.py:80-105 draws onto the image)."""
     return F.regexp_replace(annotated, r"\[\[(/|[^\]#]+#\d+)\]\]", "")
 
 

@@ -335,7 +335,15 @@ def embedding_near_dup_pairs(
     from .similarity import dot_product, hyperplane_band_keys, norm
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # NB: inference fires one eager single-row job at plan-build time;
+        # pass dim explicitly to stay fully lazy
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            id_type = dict(df.dtypes)[id_col]
+            return df.sparkSession.createDataFrame(
+                [], f"vec_a {id_type}, vec_b {id_type}, cos_micro bigint"
+            )
+        dim = len(first[0])
     keys = hyperplane_band_keys(F.col(vec_col), dim, n_planes, n_bands)
     band_structs = F.array(
         *[F.struct(F.lit(b).alias("band"), key.alias("key")) for b, key in enumerate(keys)]
@@ -382,7 +390,10 @@ def near_dup_clusters(
     element-wise minimum; terminates when no label changes. Iteration
     count is the graph diameter (near-dup clusters are shallow — a handful
     of rounds), each round one distributed join + aggregate; the
-    convergence check is a cheap count on the changed subset.
+    convergence check is a cheap count on the changed subset. If the cap
+    is hit before the fixpoint the labels would be silently WRONG, so the
+    function raises instead — pass a larger ``max_iterations`` for
+    pathological chain-shaped components.
 
     Output: doc_id, cluster_id — every node that appears in ``pairs``.
     """
@@ -397,6 +408,7 @@ def near_dup_clusters(
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -421,7 +433,13 @@ def near_dup_clusters(
         )
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iterations} iterations "
+            "(component diameter exceeds the cap); raise max_iterations"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

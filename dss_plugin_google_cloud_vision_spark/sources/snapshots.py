@@ -71,7 +71,10 @@ class SnapshotLog:
         snapshot manifest atomically. Returns the new snapshot id."""
         parent = self.current_snapshot_id()
         snapshot_id = (parent or 0) + 1
-        commit_dir = f"s{snapshot_id:08d}-{run_id or uuid.uuid4().hex[:12]}"
+        # ALWAYS attempt-unique: a retry after a crash-between-write-and-
+        # publish must not collide with its own orphan data directory even
+        # under a stable run_id
+        commit_dir = f"s{snapshot_id:08d}-{run_id or 'run'}-{uuid.uuid4().hex[:12]}"
         df.write.parquet(os.path.join(self.data_dir, commit_dir))
         dirs = self.manifest(parent)["dirs"] if parent else []
         manifest = {

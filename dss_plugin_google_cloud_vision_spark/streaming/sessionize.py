@@ -8,9 +8,10 @@ downstream) and opens a new one. Output mode: append — only closed
 sessions are emitted; open sessions live in the state store and survive
 restarts via the checkpoint.
 
-Ordering note: events are sorted by (ts, tie-break) WITHIN each
-micro-batch before folding; cross-micro-batch reordering is the usual
-streaming caveat and is handled in production by watermarking the source —
+Ordering note: each key's rows for a micro-batch are CONCATENATED across
+their Arrow chunks and sorted by (ts, tie-break) once before folding;
+cross-micro-batch reordering is the usual streaming caveat and is handled
+in production by watermarking the source —
 the engine's tests drive the operator with AvailableNow over a static
 input (single ordered fold), then assert closed sessions equal the batch
 ``sessionize`` result minus each key's still-open final session.
@@ -28,7 +29,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.sessions import DEFAULT_GAP_SECONDS, epoch_micros
 
 STATE_SCHEMA = "start_us long, last_us long, n_events long"
-OUTPUT_SCHEMA = "user_id long, n_events long, start_us long, end_us long"
 
 
 def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
@@ -56,8 +56,13 @@ def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
             start_us = last_us = None
             n_events = 0
         closed = []
-        for pdf in batches:
-            ordered = pdf.sort_values(["ts_us", "event_id"])
+        # the group's rows arrive as MULTIPLE pandas chunks in arbitrary
+        # cross-chunk order — concatenate before sorting (sorting each
+        # chunk independently would fold events out of time order for any
+        # key larger than one Arrow batch)
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            ordered = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             for ts_us in ordered["ts_us"]:
                 ts_us = int(ts_us)
                 if last_us is not None and ts_us - last_us > gap_us:
@@ -80,6 +85,7 @@ def session_state_stream(
     events_stream: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
+    order_col: str = "event_id",
     gap_seconds: int = DEFAULT_GAP_SECONDS,
     event_time_timeout: bool = False,
     watermark_delay: str = "0 seconds",
@@ -90,7 +96,12 @@ def session_state_stream(
     ``ts_col`` and a session with no successor event also flushes once the
     watermark passes ``last_event + gap`` (idle keys would otherwise hold
     state forever); a closing event and an idle timeout produce the SAME
-    session row."""
+    session row.
+
+    Output column ``user_id`` carries the key (its type follows
+    ``key_col``); ``order_col`` breaks timestamp ties deterministically."""
+    key_type = dict(events_stream.dtypes)[key_col]
+    output_schema = f"user_id {key_type}, n_events long, start_us long, end_us long"
     source = events_stream
     timeout = GroupStateTimeout.NoTimeout
     if event_time_timeout:
@@ -108,13 +119,13 @@ def session_state_stream(
         timeout = GroupStateTimeout.EventTimeTimeout
     keyed = source.select(
         F.col(key_col).alias("user_id"),
-        F.col("event_id"),
+        F.col(order_col).alias("event_id"),
         epoch_micros(F.col(ts_col)).alias("ts_us"),
         *([F.col("_wm_ts")] if event_time_timeout else []),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         _make_update_fn(gap_seconds, event_time_timeout),
-        outputStructType=OUTPUT_SCHEMA,
+        outputStructType=output_schema,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,

@@ -150,3 +150,26 @@ def test_ivf_topk_recall(spark, sf_dir):
     # recall vs brute force at k=1 is exact; report overlap at k=5
     ids = {r["vec_id"] for r in rows}
     assert brute_top[0]["vec_id"] in ids
+
+
+def test_near_dup_clusters_raises_at_iteration_cap(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 7)], "doc_a int, doc_b int")
+    # diameter 6 > cap 2 → loud failure instead of silently wrong labels
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(chain, max_iterations=2).collect()
+    # default cap converges
+    labels = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(chain).collect()}
+    assert set(labels.values()) == {1}
+
+
+def test_embedding_near_dup_empty_input(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = embedding_near_dup_pairs(empty)
+    assert out.columns == ["vec_a", "vec_b", "cos_micro"]
+    assert out.count() == 0

@@ -237,3 +237,25 @@ def test_three_way_routing():
         b" for the extractor heuristics to retain it as main content</p></article></body></html>"
     )
     assert [p[0] for p in html_pages] == [None]
+
+
+def test_malformed_multipage_payloads_raise():
+    """A PAGE/FRAME opened while the previous one is unterminated is a
+    split error, not a silent mis-split (code-review regression)."""
+    import pytest
+
+    from dss_plugin_google_cloud_vision_spark.errors import DocumentSplitError
+    from dss_plugin_google_cloud_vision_spark.functions.tiff_extract import (
+        build_tiff_payload,
+        split_tiff_frames,
+    )
+
+    with pytest.raises(DocumentSplitError):
+        split_pdf_pages(b"%PDF-FAKE 1.0\nPAGE 1\nPAGE 2\nx\nENDPAGE\n%%EOF\n")
+    with pytest.raises(DocumentSplitError):
+        split_tiff_frames(b"II*\x00FAKE 1.0\nFRAME 1\nFRAME 2\nx\nENDFRAME\n%%EOFTIFF\n")
+    # marker-colliding content is rejected at build time, not corrupted
+    with pytest.raises(ValueError):
+        build_tiff_payload([["ENDFRAME"]])
+    with pytest.raises(ValueError):
+        build_tiff_payload([["a\nb"]])

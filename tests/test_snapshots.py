@@ -104,3 +104,16 @@ def test_binary_file_ingest_to_extraction(spark, tmp_path):
 
     text = json.loads(rows["a.html"]["content_api_response"])["fullTextAnnotation"]["text"]
     assert "long enough paragraph of body text" in text
+
+
+def test_commit_retry_same_run_id_after_crash(spark, tmp_path):
+    """A retry with a STABLE run_id after a crash between data write and
+    manifest publish must not collide with its own orphan directory
+    (code-review regression: attempt-unique commit dirs)."""
+    log = SnapshotLog(str(tmp_path / "table"))
+    log.commit(spark.range(3), run_id="job-42")
+    # simulate the crashed attempt of snapshot 2 under the same run id
+    spark.range(50, 60).write.parquet(os.path.join(log.data_dir, "s00000002-job-42-deadbeef0000"))
+    retry = log.commit(spark.range(3, 5), run_id="job-42")
+    assert retry == 2
+    assert log.read(spark).count() == 5  # orphan rows invisible

@@ -181,3 +181,51 @@ def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
     # flushes as well; user 3 (timeout 26:00) stays open in state
     assert (2, 1, us(10), us(10)) in emitted
     assert len(emitted) == 3
+
+
+def test_streaming_sessionize_key_spanning_many_arrow_chunks(spark, tmp_path):
+    """A key whose micro-batch rows span many Arrow chunks must still fold
+    in global time order (code-review regression: per-chunk sorting)."""
+    from datetime import datetime, timedelta
+
+    from dss_plugin_google_cloud_vision_spark.streaming.sessionize import session_state_stream
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        # 7h gap between event 199 and 200 → exactly two sessions
+        offset = timedelta(minutes=i) if i < 200 else timedelta(hours=7, minutes=i)
+        rows.append((i, 1, base + offset))
+    # shuffle deterministically so chunk order ≠ time order
+    rows.sort(key=lambda r: (r[0] * 2654435761) % 997)
+    schema = "event_id long, user_id long, ts timestamp_ntz"
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "closed")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(input_dir)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        stream = spark.readStream.schema(schema).format("parquet").option("path", input_dir).load()
+        closed = session_state_stream(stream, gap_seconds=21600)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            closed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    emitted = [
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    epoch = 1704067200 * 1_000_000
+    assert emitted == [(1, 200, epoch, epoch + 199 * 60 * 1_000_000)]
