@@ -419,6 +419,41 @@ def q_annotated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 envelope math over span arrays: min-start/max-end plus exact
+    milli coverage, computed over the second-half span subset (block 1)
+    of the same synthetic two-span construction as annotated_spans."""
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import span_envelope_columns
+
+    docs = _table(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 2)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n1 = F.floor(n / 2).cast("int")
+    len1 = F.length(F.array_join(F.slice(toks, 1, n1), " ")).cast("int")
+    spans = F.array(
+        F.struct(
+            F.lit("seg").alias("kind"),
+            F.lit(0).alias("start"),
+            len1.alias("end"),
+            F.lit(0).alias("block_id"),
+        ),
+        F.struct(
+            F.lit("seg").alias("kind"),
+            (len1 + 1).alias("start"),
+            F.length("text").cast("int").alias("end"),
+            F.lit(1).alias("block_id"),
+        ),
+    )
+    second_half = F.filter(spans, lambda s: s["block_id"] == 1)
+    env = span_envelope_columns(second_half, F.length("text"))
+    return docs.select(
+        "doc_id",
+        env["envelope_start"].alias("env_start"),
+        env["envelope_end"].alias("env_end"),
+        env["envelope_coverage_milli"].alias("coverage_milli"),
+    )
+
+
 _LIKELIHOODS = ("VERY_UNLIKELY", "UNLIKELY", "POSSIBLE", "LIKELY", "VERY_LIKELY")
 
 
@@ -866,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_hints_formatter": q_crop_hints_formatter,
         "web_blocklist_formatter": q_web_blocklist_formatter,
         "annotated_spans": q_annotated_spans,
+        "span_envelope": q_span_envelope,
         "custom_row_extract": q_custom_row_extract,
         "custom_batch_extract": q_custom_batch_extract,
         "unique_naming_collision": q_unique_naming_collision,
@@ -1020,6 +1056,15 @@ def oracle_sql() -> dict[str, str]:
             "  [])[1:3], '|') AS label_list, "
             "count(*) AS n_lines "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "span_envelope": (
+            "SELECT doc_id, cast(len1 + 1 AS int) AS env_start, "
+            "cast(length(text) AS int) AS env_end, "
+            "cast(floor((length(text) - len1 - 1) * 1000 / length(text)) AS bigint) AS coverage_milli "
+            "FROM (SELECT doc_id, text, "
+            " length(array_to_string((string_split(text, ' '))"
+            "  [1:cast(floor(len(string_split(text, ' ')) / 2) AS int)], ' ')) AS len1 "
+            " FROM documents WHERE len(string_split(text, ' ')) >= 2)"
         ),
         "custom_row_extract": (
             "SELECT doc_id, "

@@ -328,6 +328,30 @@ def format_crop_hints(
     )
 
 
+def span_envelope_columns(spans: Column, text_length: Column) -> Dict[str, Column]:
+    """F6 — the char-span analogue of the reference's bounding-box
+    envelope math (google_vision_api_formatting.py:218-227 takes min/max
+    over the 4 polygon vertices; :504-514 the normalized variant): the
+    envelope of a span array is (min start, max end), absolute, plus the
+    normalized coverage as an exact milli ratio (the reference's
+    normalized-coordinate form without float hazards).
+
+    Null/empty span arrays yield null envelope fields (the reference
+    returns None for missing polygons)."""
+    spans = F.coalesce(spans, F.array())
+    start = F.array_min(F.transform(spans, lambda s: s["start"]))
+    end = F.array_max(F.transform(spans, lambda s: s["end"]))
+    # floor, not round: DuckDB and Spark round() disagree on ties
+    coverage = F.when(
+        text_length > 0, F.floor((end - start) * 1000 / text_length).cast("bigint")
+    )
+    return {
+        "envelope_start": start,
+        "envelope_end": end,
+        "envelope_coverage_milli": coverage,
+    }
+
+
 def move_api_columns_to_end(
     df: DataFrame,
     api_column_names: NamedTuple,
