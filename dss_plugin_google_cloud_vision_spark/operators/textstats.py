@@ -95,7 +95,11 @@ def rolling_hash_column(text_col: str = "text") -> Column:
     ``list_reduce`` seeds with the first element, which equals the
     zero-seeded fold since cp < m). The streaming form of document
     fingerprinting: a content-defined chunker extends the same recurrence
-    one position at a time."""
+    one position at a time.
+
+    Scale note: the per-character fold is interpreted (~µs/char) — it is
+    the educational/exact form; ``fingerprint_column`` (md5, JVM-native)
+    is the whole-document fingerprint to use at 100 TB."""
     text = F.col(text_col)
     positions = F.sequence(F.lit(1), F.length(text))
     fold = F.aggregate(

@@ -1,7 +1,8 @@
 # -*- coding: utf-8 -*-
 """Batch sessionization semantics on crafted timelines."""
 
-from datetime import datetime
+import random
+from datetime import datetime, timedelta
 
 from dss_plugin_google_cloud_vision_spark.operators.sessions import (
     session_stats,
@@ -40,3 +41,37 @@ def test_session_stats_counts(spark):
     # exact epoch-micro bounds
     assert stats[(2, 1)]["start_us"] == 1704099600000000
     assert stats[(2, 1)]["end_us"] == 1704103200000000
+
+
+def test_sessionize_matches_python_reference_on_random_events(spark):
+    """Seeded randomized cross-check: Spark sessionization equals a naive
+    single-threaded Python sessionizer on 300 random events."""
+    rng = random.Random(20240816)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for event_id in range(300):
+        user = rng.randrange(6)
+        ts = base + timedelta(seconds=rng.randrange(0, 14 * 24 * 3600))
+        rows.append((event_id, user, ts))
+    gap = 3600 * 4
+
+    # python reference: per user, sort by (ts, id), split on gap
+    expected = {}
+    per_user = {}
+    for event_id, user, ts in rows:
+        per_user.setdefault(user, []).append((ts, event_id))
+    for user, evts in per_user.items():
+        evts.sort()
+        seq, last = 0, None
+        for ts, event_id in evts:
+            if last is None or (ts - last).total_seconds() > gap:
+                seq += 1
+            expected[event_id] = (user, seq)
+            last = ts
+
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+    got = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+    assert got == expected
