@@ -209,6 +209,30 @@ def q_argmax_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join relational shape (TPC-H Q3): filtered customer segment ⋈
+    orders ⋈ lineitem, revenue agg, top-10 — exercises join planning,
+    broadcast of the pruned build side, and partial aggregation."""
+    customer = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+    lineitem = _table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
+    revenue_cents = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(revenue_cents.alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_extension_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1/F2 path-extension predicate over synthesized paths."""
     part = _table(spark, sf_dir, "part")
@@ -894,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "argmax_supplier": q_argmax_supplier,
         "extension_filter": q_extension_filter,
+        "shipping_priority": q_shipping_priority,
         "anti_join_resume": q_anti_join_resume,
         "merge_collect": q_merge_collect,
         "text_formatter_roundtrip": q_text_formatter_roundtrip,
@@ -1003,6 +1028,18 @@ def oracle_sql() -> dict[str, str]:
             "      (['pdf','html','tiff'])[cast(p_partkey % 3 AS int) + 1], "
             "      '\\.([^.]+)$', 1)) AS ext "
             "  FROM part) WHERE ext IN ('pdf', 'tiff')"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, "
+            "o_orderpriority, "
+            "cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 100) AS bigint)) AS bigint)"
+            " AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1998-06-01' "
+            "AND l_shipdate > '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
         ),
         "anti_join_resume": (
             "SELECT doc_id, lang, n_chars FROM documents "
