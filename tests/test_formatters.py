@@ -241,3 +241,28 @@ def test_content_list_bug_compatible_mode(spark):
     assert wrow["content_api_web_label"] == ""
     # scored entities: raw order, unfiltered
     assert wrow["content_api_web_entity_list"] == ["beach", "sun"]
+
+
+def test_span_envelope_columns(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import span_envelope_columns
+
+    df = spark.createDataFrame(
+        [
+            ("hello brave world", [("h", 2, 5, 0), ("w", 12, 17, 1)]),
+            ("x", []),
+            (None, None),
+        ],
+        "text string, spans array<struct<kind:string,start:int,end:int,block_id:int>>",
+    )
+    env = span_envelope_columns(F.col("spans"), F.length("text"))
+    rows = df.select(
+        env["envelope_start"].alias("s"),
+        env["envelope_end"].alias("e"),
+        env["envelope_coverage_milli"].alias("c"),
+    ).collect()
+    assert (rows[0]["s"], rows[0]["e"]) == (2, 17)
+    assert rows[0]["c"] == (17 - 2) * 1000 // 17
+    # empty / null span arrays → null envelope (reference returns None for
+    # missing polygons)
+    assert rows[1]["s"] is None and rows[1]["c"] is None
+    assert rows[2]["s"] is None and rows[2]["c"] is None
