@@ -384,16 +384,16 @@ def near_dup_clusters(
     cluster_id = min doc id reachable through the pair graph.
 
     Pairwise near-dup output is not deduplicatable by keep-first alone —
-    chains (a~b, b~c without a~c) need the transitive closure. This is the
-    standard Pregel-style min-label propagation: each iteration joins the
-    current labels across the (undirected) edge list and keeps the
-    element-wise minimum; terminates when no label changes. Iteration
-    count is the graph diameter (near-dup clusters are shallow — a handful
-    of rounds), each round one distributed join + aggregate; the
-    convergence check is a cheap count on the changed subset. If the cap
-    is hit before the fixpoint the labels would be silently WRONG, so the
-    function raises instead — pass a larger ``max_iterations`` for
-    pathological chain-shaped components.
+    chains (a~b, b~c without a~c) need the transitive closure. Each
+    iteration takes the element-wise minimum of (own label, min neighbor
+    label, label-of-label): the neighbor hop is Pregel-style min-label
+    propagation, the label-of-label hop is POINTER DOUBLING, which halves
+    the remaining distance to the component minimum every round — so
+    convergence is O(log diameter) rounds even for pathological
+    chain-shaped components, not O(diameter). Terminates when no label
+    changes (a cheap count on the changed subset). If the cap is somehow
+    hit before the fixpoint the labels would be silently WRONG, so the
+    function raises instead.
 
     Output: doc_id, cluster_id — every node that appears in ``pairs``.
     """
@@ -415,12 +415,21 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("neighbor_label"))
         )
+        label_of_label = labels.alias("a").join(
+            labels.alias("b"), F.col("a.label") == F.col("b.node"), "left"
+        ).select(
+            F.col("a.node").alias("node"),
+            F.col("a.label").alias("label"),
+            F.coalesce(F.col("b.label"), F.col("a.label")).alias("jump_label"),
+        )
         updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            label_of_label.join(neighbor_min, label_of_label.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("neighbor_label"), F.col("label"))
+                    F.col("label"),
+                    F.col("jump_label"),
+                    F.coalesce(F.col("neighbor_label"), F.col("label")),
                 ).alias("label"),
             )
         )

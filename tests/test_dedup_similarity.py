@@ -173,3 +173,18 @@ def test_embedding_near_dup_empty_input(spark):
     out = embedding_near_dup_pairs(empty)
     assert out.columns == ["vec_a", "vec_b", "cos_micro"]
     assert out.count() == 0
+
+
+def test_near_dup_clusters_pointer_doubling_long_chain(spark):
+    """Pointer doubling: a 60-node chain (diameter 59) converges within
+    ~log2 rounds, far under a cap that plain neighbor propagation would
+    blow through."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import near_dup_clusters
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 60)], "doc_a int, doc_b int")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(chain, max_iterations=10).collect()
+    }
+    assert set(labels.values()) == {1}
+    assert len(labels) == 60
