@@ -741,10 +741,11 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_fingerprint_column,
     )
 
-    return _table(spark, sf_dir, "documents").select(
+    docs = _table(spark, sf_dir, "documents").withColumn("_toks", F.split("text", " "))
+    return docs.select(
         "doc_id",
         fingerprint_column().alias("doc_md5"),
-        shingle_fingerprint_column().alias("shingle_fp"),
+        shingle_fingerprint_column(tokens=F.col("_toks")).alias("shingle_fp"),
         rolling_hash_column().alias("rolling_hash"),
     )
 
@@ -857,6 +858,84 @@ def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_table(_table(spark, sf_dir, "documents"))
 
 
+def q_column_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 column reorder as a constant-shape roundtrip: a deliberately
+    scrambled column layout is normalized by move_api_columns_to_end under
+    LOG (api columns last, data order preserved) and FAIL (error
+    message/type leave the api tail); the resulting ORDERS are emitted as
+    data so the driver's name-sorted compare still verifies them."""
+    from dss_plugin_google_cloud_vision_spark.errors import ErrorHandling, ExtractionError
+    from dss_plugin_google_cloud_vision_spark.naming import build_unique_column_names
+    from dss_plugin_google_cloud_vision_spark.operators.enrichers import token_stats_row
+    from dss_plugin_google_cloud_vision_spark.operators.extract import extract
+    from dss_plugin_google_cloud_vision_spark.operators.formatters import (
+        move_api_columns_to_end,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = extract(docs, token_stats_row, (ExtractionError,), "stats_api", verbose=True)
+    scrambled = out.select(
+        "stats_api_response",
+        "doc_id",
+        "stats_api_error_message",
+        "text",
+        "stats_api_error_type",
+        "stats_api_error_raw",
+    )
+    names = build_unique_column_names(["doc_id", "text"], "stats_api")
+    log_order = move_api_columns_to_end(scrambled, names, ErrorHandling.LOG).columns
+    fail_order = move_api_columns_to_end(scrambled, names, ErrorHandling.FAIL).columns
+    return docs.select(
+        "doc_id",
+        F.lit(",".join(log_order)).alias("log_order"),
+        F.lit(",".join(fail_order)).alias("fail_order"),
+    )
+
+
+def q_param_validation_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 parameter validation as a constant-shape roundtrip: the
+    normalized/overridden values (document-path batch-size force, batched
+    rate-limit division, hint override) echoed per doc_id and pinned by a
+    constant oracle."""
+    from dss_plugin_google_cloud_vision_spark.config import validate_params
+
+    doc_params = validate_params(batch_size=16, document_path=True, rate_limit=1800)
+    batched = validate_params(batch_size=16, rate_limit=1800, batch_support=True)
+    hinted = validate_params(language="fr", custom_language_hints="en, de")
+    docs = _table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lit(doc_params.batch_size).cast("int").alias("doc_path_batch_size"),
+        F.lit(batched.rate_limit).cast("int").alias("batched_rate_limit"),
+        F.lit(",".join(hinted.language_hints)).alias("hints"),
+        F.lit(hinted.error_handling.name).alias("error_handling"),
+    )
+
+
+def q_column_descriptions_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 write-then-read roundtrip: write documents with merged column
+    descriptions (input wins on name match, reference dku_io_utils.py:71-78)
+    then read the descriptions back and emit them as rows."""
+    import tempfile
+
+    from dss_plugin_google_cloud_vision_spark.sources.sinks import (
+        read_column_descriptions,
+        write_output,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    target = os.path.join(tempfile.gettempdir(), "oracle_sink_descriptions.parquet")
+    write_output(
+        docs,
+        target,
+        descriptions={"doc_id": "output id", "lang": "output lang", "text": "extracted text"},
+        input_descriptions={"lang": "input language wins", "n_chars": ""},
+    )
+    described = read_column_descriptions(spark, target)
+    rows = sorted(described.items())
+    return spark.createDataFrame(rows, "column_name string, description string")
+
+
 # --- rows-only entries (non-SQL-expressible; driver records a weaker
 # rows-only check, pytest carries the strong assertions) ---
 
@@ -952,6 +1031,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "skew_two_phase": q_skew_two_phase,
         "politeness_slots": q_politeness_slots,
+        "column_reorder": q_column_reorder,
+        "param_validation_echo": q_param_validation_echo,
+        "column_descriptions_sink": q_column_descriptions_sink,
         # rows-only (no oracle entry): non-SQL-expressible surfaces
         "extract_generated_pages": q_extract_generated_pages,
         "media_features": q_media_features,
@@ -1162,6 +1244,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "skew_two_phase": (
             "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "column_reorder": (
+            "SELECT doc_id, "
+            "'doc_id,text,stats_api_response,stats_api_error_message,"
+            "stats_api_error_type,stats_api_error_raw' AS log_order, "
+            "'doc_id,stats_api_error_message,text,stats_api_error_type,"
+            "stats_api_response,stats_api_error_raw' AS fail_order "
+            "FROM documents"
+        ),
+        "param_validation_echo": (
+            # doc path forces batch_size 1; batched rate = floor(1800/16);
+            # custom hints override the language param; LOG is the default
+            "SELECT doc_id, 1 AS doc_path_batch_size, 112 AS batched_rate_limit, "
+            "'en,de' AS hints, 'LOG' AS error_handling FROM documents"
+        ),
+        "column_descriptions_sink": (
+            "SELECT * FROM (VALUES "
+            "('doc_id', 'output id'), "
+            "('lang', 'input language wins'), "
+            "('text', 'extracted text')"
+            ") AS t(column_name, description)"
         ),
         "politeness_slots": (
             "SELECT url, "

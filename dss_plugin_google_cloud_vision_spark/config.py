@@ -20,10 +20,13 @@ from typing import Dict, List, Optional, Sequence
 from .errors import ErrorHandling
 from .functions.langid import LANG_STOPWORDS
 
-# Languages the engine can actually detect (stopword profiles + script
-# ranges in functions/langid.py) — the engine's analogue of the reference's
-# SUPPORTED_LANGUAGES resource (python-lib/language_dict.py), which the
-# recipe UI uses to validate the language hint.
+# The full UI-facing hint resource (reference language_dict.py parity —
+# 58 codes): what the ``language`` parameter validates against.
+from .functions.language_dict import SUPPORTED_LANGUAGES as HINTABLE_LANGUAGES  # noqa: E402
+
+# Languages the engine can actually DETECT (stopword profiles + script
+# ranges in functions/langid.py) — narrower than HINTABLE_LANGUAGES; kept
+# separate so detection coverage stays honest.
 SUPPORTED_LANGUAGES: Dict[str, str] = {
     **{
         code: name
@@ -138,7 +141,9 @@ def validate_params(
         raise ParamValidationError("Please select at least one content category")
     language_hints: List[str] = []
     if language:
-        if language not in SUPPORTED_LANGUAGES:
+        # validated against the full hint resource (reference
+        # language_dict.py:4-63), not just the detector's coverage
+        if language not in HINTABLE_LANGUAGES:
             raise ParamValidationError(f"Invalid language code: {language}")
         language_hints = [language]
     if custom_language_hints:

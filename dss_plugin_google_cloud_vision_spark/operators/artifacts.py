@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -98,13 +99,20 @@ def write_annotated_artifacts(
     EXECUTORS via ``foreachPartition`` (no collect, no driver loop). The
     target must be a shared filesystem / object-store mount — the same
     contract as the reference's managed folder."""
-    os.makedirs(directory, exist_ok=True)
     rows = df.select(F.col(url_column).cast("string"), F.col(artifact_column).cast("string"))
 
     def write_partition(iterator) -> None:
+        # executor-local: guarantee the directory exists on THIS node (a
+        # driver-side makedirs may not have propagated on some mounts)
+        os.makedirs(directory, exist_ok=True)
         for row in iterator:
             path = os.path.join(directory, artifact_name(row[0], suffix))
-            with open(path, "w", encoding="utf-8") as handle:
+            # atomic publish: a retried/speculative task must never expose
+            # a torn artifact to a concurrent reader — write task-unique
+            # temp, then os.replace (atomic on POSIX)
+            tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as handle:
                 handle.write(row[1] or "")
+            os.replace(tmp, path)
 
     rows.foreachPartition(write_partition)

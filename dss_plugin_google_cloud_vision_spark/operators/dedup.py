@@ -37,15 +37,61 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16-bit band keys; pigeonhole covers hamming <= 3
 _HEX = "0123456789abcdef"
 
+# Hot-bucket guard: at real corpus scale, boilerplate-near-identical
+# documents produce giant (band, key) buckets and the self-join goes
+# quadratic WITHIN a bucket (cap² pairs). Buckets above this size are
+# dropped from candidate generation (the standard LSH frequent-bucket
+# guard). The default never fires at oracle scale (sf0.01 buckets are
+# <= ~5 rows) — it exists for the 100×-duplicate-heavy tail. NOT silent:
+# callers at scale report ``oversized_band_buckets`` (same inputs) on the
+# side; the pair functions' docstrings carry the contract.
+DEFAULT_MAX_BAND_BUCKET = 512
+
+
+def oversized_band_buckets(band_rows: DataFrame, key_cols: List[str], max_bucket_size: int) -> DataFrame:
+    """Report surface for the hot-bucket guard: (key..., bucket_n) of every
+    band bucket ABOVE the cap — the rows ``_drop_oversized_buckets`` would
+    drop. Log/persist this next to any capped run (no-silent-caps rule)."""
+    return (
+        band_rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket_size)
+    )
+
+
+def _drop_oversized_buckets(
+    band_rows: DataFrame, key_cols: List[str], max_bucket_size: int | None
+) -> DataFrame:
+    """Drop rows in band buckets larger than ``max_bucket_size``. One
+    aggregation + left-semi join on the SAME key the band self-join
+    shuffles on (co-partitioned — the exchange is reused, not doubled)."""
+    if max_bucket_size is None:
+        return band_rows
+    small = (
+        band_rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+    return band_rows.join(small, key_cols, "left_semi")
+
 
 def tokens_column(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
-def shingles_column(text_col: str = "text", k: int = DEFAULT_SHINGLE_K) -> Column:
+def shingles_column(
+    text_col: str = "text", k: int = DEFAULT_SHINGLE_K, tokens: Column | None = None
+) -> Column:
     """k-gram token shingles; documents shorter than k tokens contribute the
-    whole text as a single shingle. Mirrored 1:1 by the oracle SQL."""
-    toks = tokens_column(text_col)
+    whole text as a single shingle. Mirrored 1:1 by the oracle SQL.
+
+    Perf: pass ``tokens`` as a PRE-BOUND column (``df.withColumn("_toks",
+    tokens_column(...))``) whenever possible — an inline split expression is
+    re-evaluated by every ``element_at`` inside the transform lambda
+    (higher-order lambdas are interpreted, no common-subexpression
+    elimination), turning the shingle build quadratic in document length."""
+    toks = tokens_column(text_col) if tokens is None else tokens
     positions = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     k_gram = F.transform(
         positions,
@@ -113,8 +159,12 @@ def minhash_signature(
     """Per-doc MinHash signature: sig[s] = min over distinct shingles of
     md5('<s>#' || shingle). One explode + one aggregation pass with
     ``n_hashes`` parallel min() columns (map-side combinable)."""
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles_column(text_col, shingle_k)).alias("shingle")
+    bound = df.select(
+        F.col(id_col), F.col(text_col), tokens_column(text_col).alias("_toks")
+    )
+    exploded = bound.select(
+        F.col(id_col),
+        F.explode(shingles_column(text_col, shingle_k, tokens=F.col("_toks"))).alias("shingle"),
     ).distinct()
     aggregates = [
         F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle")))).alias(f"h{s}")
@@ -157,11 +207,21 @@ def minhash_candidate_pairs(
     n_hashes: int = DEFAULT_N_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = DEFAULT_SHINGLE_K,
+    max_bucket_size: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
-    """LSH candidate pairs (doc_a < doc_b) sharing at least one band."""
+    """LSH candidate pairs (doc_a < doc_b) sharing at least one band.
+
+    ``max_bucket_size`` is the hot-bucket guard (see
+    ``DEFAULT_MAX_BAND_BUCKET``): buckets above it are dropped, bounding
+    the self-join at cap² pairs per bucket on duplicate-heavy corpora.
+    When a capped run matters, report ``oversized_band_buckets(
+    lsh_band_keys(minhash_signature(df, ...)), ["band", "band_key"], cap)``
+    alongside — dropped buckets must be visible, never silent. Pass
+    ``None`` to disable (exact LSH recall)."""
     band_rows = lsh_band_keys(
         minhash_signature(df, id_col, text_col, n_hashes, shingle_k), id_col, n_hashes, bands
     )
+    band_rows = _drop_oversized_buckets(band_rows, ["band", "band_key"], max_bucket_size)
     left = band_rows.select(
         F.col(id_col).alias("doc_a"), "band", "band_key"
     )
@@ -186,7 +246,10 @@ def jaccard_verified_pairs(
     arithmetic (inter*1000 >= threshold_milli*union — no float hashing
     hazards). Output: doc_a, doc_b, inter_size, union_size."""
     shingle_sets = df.select(
-        F.col(id_col), F.array_distinct(shingles_column(text_col, shingle_k)).alias("sh")
+        F.col(id_col), F.col(text_col), tokens_column(text_col).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(shingles_column(text_col, shingle_k, tokens=F.col("_toks"))).alias("sh"),
     )
     a = shingle_sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
     b = shingle_sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -212,10 +275,14 @@ def near_dup_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = DEFAULT_SHINGLE_K,
     threshold_milli: int = 800,
+    max_bucket_size: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash-LSH candidates verified by exact
-    n-gram Jaccard."""
-    candidates = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, shingle_k)
+    n-gram Jaccard. ``max_bucket_size`` is the hot-bucket guard (see
+    ``minhash_candidate_pairs``)."""
+    candidates = minhash_candidate_pairs(
+        df, id_col, text_col, n_hashes, bands, shingle_k, max_bucket_size
+    )
     return jaccard_verified_pairs(df, candidates, id_col, text_col, shingle_k, threshold_milli)
 
 
@@ -280,13 +347,17 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BAND_BUCKET,
 ) -> DataFrame:
     """SimHash near-dups via band blocking: 4 bands of 16 bits over the
     64-bit signature — any pair at hamming distance <= 3 shares at least
     one unchanged band (pigeonhole), so recall is exact for the default
     threshold; candidates are verified with bit_count(xor). Each band key
     has 2^16 values, so self-join buckets stay ~n/65536 per band at corpus
-    scale. Output: doc_a, doc_b, hamming."""
+    scale — EXCEPT for boilerplate-near-identical document families, which
+    is what ``max_bucket_size`` bounds (see ``DEFAULT_MAX_BAND_BUCKET``;
+    report ``oversized_band_buckets`` alongside any capped run; ``None``
+    disables). Output: doc_a, doc_b, hamming."""
     sims = simhash_table(df, id_col, text_col)
     band_structs = F.array(
         *[
@@ -297,6 +368,7 @@ def simhash_near_dup_pairs(
     banded = sims.select(F.col(id_col), "simhash", F.explode(band_structs).alias("bk")).select(
         id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    banded = _drop_oversized_buckets(banded, ["band", "key"], max_bucket_size)
     left = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key")
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
@@ -336,8 +408,10 @@ def embedding_near_dup_pairs(
 
     if dim is None:
         # NB: inference fires one eager single-row job at plan-build time;
-        # pass dim explicitly to stay fully lazy
-        first = df.select(vec_col).first()
+        # pass dim explicitly to stay fully lazy. Infer from a NON-NULL
+        # vector — an arbitrary first row may carry a null embedding while
+        # other rows are valid.
+        first = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
         if first is None or first[0] is None:
             id_type = dict(df.dtypes)[id_col]
             return df.sparkSession.createDataFrame(

@@ -74,41 +74,56 @@ def fingerprint_column(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col))
 
 
-def shingle_fingerprint_column(text_col: str = "text", k: int = 5) -> Column:
+def shingle_fingerprint_column(
+    text_col: str = "text", k: int = 5, tokens: Column | None = None
+) -> Column:
     """Content-defined fingerprint robust to document order: the minimum
     md5 over k-gram token shingles (a 1-hash MinHash) — the document
-    fingerprint for near-dup blocking."""
+    fingerprint for near-dup blocking.
+
+    Perf: pass ``tokens`` pre-bound (see ``dedup.shingles_column``) — an
+    inline split is re-evaluated per shingle element (measured ~15x on the
+    sf0.1 fingerprints query)."""
     from .dedup import shingles_column
 
-    return F.array_min(F.transform(shingles_column(text_col, k), lambda s: F.md5(s)))
+    return F.array_min(
+        F.transform(shingles_column(text_col, k, tokens=tokens), lambda s: F.md5(s))
+    )
 
 
 ROLLING_HASH_MOD = (1 << 31) - 1  # Mersenne prime; 256 * mod fits in int64
 ROLLING_HASH_BASE = 256
+ROLLING_HASH_PREFIX_CHARS = 4096
 
 
-def rolling_hash_column(text_col: str = "text") -> Column:
-    """Karp–Rabin rolling hash of the whole text: the polynomial
-    ``sum(cp_i * base^(n-1-i)) mod 2^31-1`` over the code points, computed
-    as a left fold ``acc = (acc*256 + cp) % m`` — every intermediate fits
-    in int64, so Spark and DuckDB agree bit-for-bit (the DuckDB mirror's
+def rolling_hash_column(
+    text_col: str = "text", prefix_chars: int = ROLLING_HASH_PREFIX_CHARS
+) -> Column:
+    """Karp–Rabin rolling hash over the first ``prefix_chars`` code points:
+    the polynomial ``sum(cp_i * base^(k-1-i)) mod 2^31-1``, computed as a
+    left fold ``acc = (acc*256 + cp) % m`` — every intermediate fits in
+    int64, so Spark and DuckDB agree bit-for-bit (the DuckDB mirror's
     ``list_reduce`` seeds with the first element, which equals the
     zero-seeded fold since cp < m). The streaming form of document
     fingerprinting: a content-defined chunker extends the same recurrence
     one position at a time.
 
-    Scale note: the per-character fold is interpreted (~µs/char) — it is
-    the educational/exact form; ``fingerprint_column`` (md5, JVM-native)
-    is the whole-document fingerprint to use at 100 TB."""
+    Scale notes: the fold runs over a PRE-SPLIT char array — the naive
+    per-position ``substr(text, i, 1)`` form is O(i) per step on UTF8
+    strings (boundary scan), i.e. quadratic per document; splitting once
+    makes the whole fold linear. Work per row is additionally CAPPED at a
+    fixed prefix (default 4096 chars — bounded cost regardless of document
+    length; a prefix hash is the standard cheap discriminator, with
+    ``fingerprint_column``'s md5 as the exact whole-document form). Pass
+    ``prefix_chars=None`` for the uncapped fold."""
     text = F.col(text_col)
-    positions = F.sequence(F.lit(1), F.length(text))
+    chars = F.split(text, "")
+    if prefix_chars is not None:
+        chars = F.slice(chars, 1, prefix_chars)
     fold = F.aggregate(
-        positions,
+        chars,
         F.lit(0).cast("bigint"),
-        lambda acc, i: (
-            acc * ROLLING_HASH_BASE + F.ascii(F.substr(text, i, F.lit(1)))
-        )
-        % ROLLING_HASH_MOD,
+        lambda acc, ch: (acc * ROLLING_HASH_BASE + F.ascii(ch)) % ROLLING_HASH_MOD,
     )
     return F.when(F.length(text) > 0, fold).otherwise(F.lit(0)).cast("bigint")
 

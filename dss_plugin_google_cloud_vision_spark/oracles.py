@@ -383,12 +383,17 @@ def quality_sql() -> str:
 
 
 def fingerprint_sql(k: int = 5) -> str:
-    from .operators.textstats import ROLLING_HASH_BASE, ROLLING_HASH_MOD
+    from .operators.textstats import (
+        ROLLING_HASH_BASE,
+        ROLLING_HASH_MOD,
+        ROLLING_HASH_PREFIX_CHARS,
+    )
 
     parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
     rolling = (
         "CASE WHEN length(text) = 0 THEN 0 ELSE "
-        "list_reduce(list_transform(generate_series(1, length(text)),"
+        "list_reduce(list_transform("
+        f"generate_series(1, least(length(text), {ROLLING_HASH_PREFIX_CHARS})),"
         " i -> cast(ord(substring(text, i, 1)) AS bigint)),"
         f" (acc, v) -> (acc * {ROLLING_HASH_BASE} + v) % {ROLLING_HASH_MOD}) END"
     )

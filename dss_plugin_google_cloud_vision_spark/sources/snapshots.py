@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import List, Optional
 
@@ -37,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "snapshots"
 DATA_DIR = "data"
+_MANIFEST_NAME = re.compile(r"^\d{8}\.json$")
 
 
 class SnapshotLog:
@@ -50,9 +52,11 @@ class SnapshotLog:
     # -- metadata ----------------------------------------------------------
 
     def snapshot_ids(self) -> List[int]:
+        # strict manifest-name match: a stray non-conforming .json (editor
+        # backup, hand-dropped file) must not break every read and commit
         ids = []
         for name in os.listdir(self.manifest_dir):
-            if name.endswith(".json"):
+            if _MANIFEST_NAME.match(name):
                 ids.append(int(name[:-5]))
         return sorted(ids)
 

@@ -108,3 +108,28 @@ def test_annotated_artifacts_round_trip_real_pipeline(spark, tmp_path):
         strip_annotations(F.col("annotated")) != F.col("extracted_text")
     ).count()
     assert mismatches == 0
+
+
+def test_language_hint_resource_boundaries():
+    """The language hint validates against the full 58-code resource
+    (reference language_dict.py parity), including codes the local
+    detector cannot identify; unknown codes are rejected."""
+    import pytest
+
+    from dss_plugin_google_cloud_vision_spark.config import (
+        HINTABLE_LANGUAGES,
+        ParamValidationError,
+        validate_params,
+    )
+
+    assert len(HINTABLE_LANGUAGES) == 58
+    assert HINTABLE_LANGUAGES["iw"] == "Hebrew"  # legacy API code kept verbatim
+    # hintable even though the detector has no profile for it
+    assert validate_params(language="km").language_hints == ["km"]
+    assert validate_params(language="en").language_hints == ["en"]
+    for bad in ("xx", "EN", "english", "he"):
+        with pytest.raises(ParamValidationError, match="Invalid language code"):
+            validate_params(language=bad)
+    # custom hints override and are not validated (reference behavior)
+    params = validate_params(language="en", custom_language_hints="en, xx ,fr")
+    assert params.language_hints == ["en", "xx", "fr"]

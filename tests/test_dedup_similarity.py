@@ -188,3 +188,56 @@ def test_near_dup_clusters_pointer_doubling_long_chain(spark):
     }
     assert set(labels.values()) == {1}
     assert len(labels) == 60
+
+
+def test_embedding_near_dup_dim_inference_skips_null_first_row(spark):
+    """dim inference must look at a NON-NULL vector: a null embedding in
+    the arbitrary first row must not silently return an empty pair set."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import embedding_near_dup_pairs
+
+    rows = [(0, None), (1, [1.0, 0.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").coalesce(1)
+    pairs = embedding_near_dup_pairs(df.filter("vec_id >= 0"))
+    got = {(r["vec_a"], r["vec_b"]): r["cos_micro"] for r in pairs.collect()}
+    assert got == {(1, 2): 1_000_000}
+
+
+def test_hot_bucket_guard_bounds_planted_family(spark):
+    """A planted 1000-document near-dup family (boilerplate-near-identical
+    texts) must not go quadratic in the band self-join: the default
+    hot-bucket cap drops its giant (band, key) buckets, the run completes
+    with a bounded candidate count, and the drop is visible through
+    oversized_band_buckets (no silent caps)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        DEFAULT_MAX_BAND_BUCKET,
+        lsh_band_keys,
+        minhash_candidate_pairs,
+        minhash_signature,
+        oversized_band_buckets,
+        simhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    family = [(i, base + f" v{i % 7}") for i in range(1000)]  # 7 variants x ~143 copies
+    distinct = [(10000 + i, f"unique document number {i} with its own words {i * 17}") for i in range(50)]
+    df = spark.createDataFrame(family + distinct, "doc_id bigint, text string").repartition(8)
+
+    capped = minhash_candidate_pairs(df, max_bucket_size=64)
+    n_capped = capped.count()
+    # uncapped would be >= C(1000,2)/something huge; the guard bounds it
+    assert n_capped < 64 * 64 * 4  # cap^2 per band upper bound
+    # the drop is reportable: the family's buckets show up oversized
+    band_rows = lsh_band_keys(minhash_signature(df))
+    dropped = oversized_band_buckets(band_rows, ["band", "band_key"], 64)
+    assert dropped.count() > 0
+    assert dropped.agg({"bucket_n": "max"}).collect()[0][0] >= 100
+
+    # simhash path: identical guard, completes with bounded candidates
+    sim_capped = simhash_near_dup_pairs(df, max_bucket_size=64)
+    assert sim_capped.count() < 64 * 64 * 4
+
+    # guard must NOT fire on a no-duplicate corpus at the default cap
+    clean = spark.createDataFrame(distinct, "doc_id bigint, text string")
+    with_cap = minhash_candidate_pairs(clean, max_bucket_size=DEFAULT_MAX_BAND_BUCKET)
+    without_cap = minhash_candidate_pairs(clean, max_bucket_size=None)
+    assert sorted(map(tuple, with_cap.collect())) == sorted(map(tuple, without_cap.collect()))

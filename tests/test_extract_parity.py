@@ -263,3 +263,71 @@ def test_input_columns_subset(spark):
 
     with pytest.raises(ValueError):
         extract(df, token_stats_row, (ExtractionError,), "stats_api", input_columns=["nope"])
+
+
+def test_verbose_error_raw_byte_parity_row_mode(spark):
+    """Verbose row-mode error_raw must be byte-equal to the reference's
+    ``str(error.args)`` (parallelizer.py:77) for both a single-arg and a
+    multi-arg exception."""
+    def failing(row, **kwargs):
+        if row[INPUT_COLUMN] == "MULTI":
+            raise ExternalAPIError("foo", 503, {"reason": "quota"})
+        raise ValueError("bad input")
+
+    df = spark.createDataFrame([("MULTI",), ("SINGLE",)], f"{INPUT_COLUMN} string")
+    out = extract(df, failing, API_EXCEPTIONS, COLUMN_PREFIX, verbose=True)
+    rows = {r[INPUT_COLUMN]: r.asDict() for r in out.collect()}
+    # str(error.args) — reference coerces via astype(str) so tuple repr verbatim
+    assert rows["MULTI"]["test_api_error_raw"] == str(("foo", 503, {"reason": "quota"}))
+    assert rows["MULTI"]["test_api_error_raw"] == "('foo', 503, {'reason': 'quota'})"
+    assert rows["SINGLE"]["test_api_error_raw"] == "('bad input',)"
+
+
+def test_verbose_error_raw_byte_parity_batch_api_error_dict(spark):
+    """Verbose batch-mode error_raw for an API-level error dict must be
+    byte-equal to the reference's behavior: the raw dict is stored
+    (google_vision_api_client.py:76) and the column materializes as its
+    str() via the astype(str) coercion (parallelizer.py:145-150); the code
+    lands in error_type as its str()."""
+    error_dict = {"code": 400, "message": "Invalid image content", "status": "INVALID_ARGUMENT"}
+
+    def batch_fn(batch, **kwargs):
+        return [
+            {"error": error_dict} if row[INPUT_COLUMN] == "BAD" else {"ok": row[INPUT_COLUMN]}
+            for row in batch
+        ]
+
+    df = spark.createDataFrame([("GOOD",), ("BAD",)], f"{INPUT_COLUMN} string")
+    out = extract(
+        df, batch_fn, API_EXCEPTIONS, COLUMN_PREFIX,
+        batch_support=True, batch_size=4, verbose=True,
+    )
+    rows = {r[INPUT_COLUMN]: r.asDict() for r in out.collect()}
+    assert rows["BAD"]["test_api_error_raw"] == str(error_dict)
+    assert (
+        rows["BAD"]["test_api_error_raw"]
+        == "{'code': 400, 'message': 'Invalid image content', 'status': 'INVALID_ARGUMENT'}"
+    )
+    assert rows["BAD"]["test_api_error_type"] == "400"
+    assert rows["BAD"]["test_api_error_message"] == "Invalid image content"
+    assert rows["GOOD"]["test_api_error_raw"] == ""
+    assert rows["GOOD"]["test_api_response"] == json.dumps({"ok": "GOOD"})
+
+
+def test_verbose_error_raw_byte_parity_batch_exception(spark):
+    """Verbose batch-mode error_raw for a batch-LEVEL exception must be
+    ``str(error.args)`` on every row of the batch (parallelizer.py:123)."""
+    def batch_fn(batch, **kwargs):
+        raise ExternalAPIError("service unavailable", 503)
+
+    df = spark.createDataFrame([("A",), ("B",), ("C",)], f"{INPUT_COLUMN} string").coalesce(1)
+    out = extract(
+        df, batch_fn, API_EXCEPTIONS, COLUMN_PREFIX,
+        batch_support=True, batch_size=10, verbose=True,
+    )
+    for row in out.collect():
+        assert row["test_api_error_raw"] == "('service unavailable', 503)"
+        assert (
+            row["test_api_error_type"]
+            == "dss_plugin_google_cloud_vision_spark.errors.ExternalAPIError"
+        )

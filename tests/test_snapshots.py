@@ -117,3 +117,17 @@ def test_commit_retry_same_run_id_after_crash(spark, tmp_path):
     retry = log.commit(spark.range(3, 5), run_id="job-42")
     assert retry == 2
     assert log.read(spark).count() == 5  # orphan rows invisible
+
+
+def test_stray_json_in_manifest_dir_is_ignored(spark, tmp_path):
+    """A non-conforming .json (editor backup, hand-dropped file) in the
+    manifest dir must not break reads or commits."""
+    log = SnapshotLog(str(tmp_path / "table"))
+    log.commit(spark.range(4))
+    for stray in ("notes.json", "00000001.json.bak", "backup-1.json"):
+        with open(os.path.join(log.manifest_dir, stray), "w") as handle:
+            handle.write("{}")
+    assert log.current_snapshot_id() == 1
+    assert log.read(spark).count() == 4
+    assert log.commit(spark.range(2)) == 2
+    assert log.read(spark).count() == 6
