@@ -40,6 +40,21 @@ from html.parser import (
 # machinery; the name charset is a strict subset of the tolerant one and
 # the immediate '>' means the full path would make the same decision
 _SIMPLE_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)>")
+# the single-alternation scanner for the non-CDATA hot loop: one match
+# consumes a data run AND the following attribute-free tag (the dominant
+# token pair in web text), halving regex calls vs find('<') + tag match;
+# when the next construct is complex the match fails and the loop falls
+# back to a C-level find for the data run
+_DATA_SIMPLE = re.compile(r"([^<]*)<(/?)([a-zA-Z][a-zA-Z0-9]*)>")
+# second fast path: start tags whose attributes are all well-formed
+# name="quoted" pairs with no <, > or quote confusion in the value — a
+# strict SUBSET of what locatestarttagend_tolerant + attrfind_tolerant
+# accept, so the full machinery would reach the same handle_starttag with
+# the same name (attributes are discarded by this tokenizer's contract)
+_DATA_ATTR_TAG = re.compile(
+    r"([^<]*)<([a-zA-Z][a-zA-Z0-9]*)"
+    r"(?:\s+[a-zA-Z_:][a-zA-Z0-9_:.-]*\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'))+\s*>"
+)
 
 _MARKED_CLOSE = re.compile(r"]\s*]\s*>")
 _MS_MARKED_CLOSE = re.compile(r"]\s*>")
@@ -77,16 +92,52 @@ def tokenize(markup: str, handler) -> None:
         emit(markup[pos:k])
         return k
 
+    handle_starttag = handler.handle_starttag
+    handle_endtag = handler.handle_endtag
+    data_simple_match = _DATA_SIMPLE.match
+    data_attr_match = _DATA_ATTR_TAG.match
     cdata_elem = None  # inside <script>/<style>
 
     while i < n:
         if cdata_elem is None:
+            # hot loop: data run + attribute-free tag in ONE regex call
+            m = data_simple_match(markup, i)
+            if m:
+                data, slash, name = m.group(1, 2, 3)
+                if data:
+                    handle_data(unescape(data) if "&" in data else data)
+                name = name.lower()
+                if slash:
+                    handle_endtag(name)
+                else:
+                    handle_starttag(name, [])
+                    if name in _CDATA_ELEMENTS:
+                        cdata_elem = name
+                i = m.end()
+                continue
+            # second fast path: data run + quoted-attribute start tag (a
+            # strict subset of the tolerant machinery's accept set, so the
+            # full path below would make the identical decision; attrs are
+            # discarded either way)
+            m = data_attr_match(markup, i)
+            if m:
+                data, name = m.group(1, 2)
+                if data:
+                    handle_data(unescape(data) if "&" in data else data)
+                name = name.lower()
+                handle_starttag(name, [])
+                if name in _CDATA_ELEMENTS:
+                    cdata_elem = name
+                i = m.end()
+                continue
             lt = find("<", i)
             if lt < 0:
                 emit(markup[i:])
                 break
             emit(markup[i:lt])
             i = lt
+            # no fast-path match at ``lt`` (the combined regexes cover any
+            # simple/quoted-attr tag there) -> straight to complex dispatch
         else:
             close = _CDATA_CLOSE[cdata_elem].search(markup, i)
             if close is None:
@@ -94,23 +145,23 @@ def tokenize(markup: str, handler) -> None:
             if close.start() > i:
                 handle_data(markup[i : close.start()])  # raw
             i = close.start()
-            # fall through: the match is a well-formed end tag at i
-
-        simple = _SIMPLE_TAG.match(markup, i)
-        if simple:
-            name = simple.group(2).lower()
-            if simple.group(1):
-                if cdata_elem is None or name == cdata_elem:
-                    handler.handle_endtag(name)
-                    cdata_elem = None
-                else:  # non-matching close inside CDATA: raw data
-                    handle_data(markup[i : simple.end()])
-            else:
-                handler.handle_starttag(name, [])
-                if name in _CDATA_ELEMENTS:
-                    cdata_elem = name
-            i = simple.end()
-            continue
+            # the match is a well-formed end tag at i
+            simple = _SIMPLE_TAG.match(markup, i)
+            if simple:
+                name = simple.group(2).lower()
+                if simple.group(1):
+                    if name == cdata_elem:
+                        handle_endtag(name)
+                        cdata_elem = None
+                    else:  # non-matching close inside CDATA: raw data
+                        handle_data(markup[i : simple.end()])
+                else:
+                    handle_starttag(name, [])
+                    if name in _CDATA_ELEMENTS:
+                        cdata_elem = name
+                i = simple.end()
+                continue
+            # spaced close (</script >): complex dispatch handles it below
 
         nxt = markup[i + 1 : i + 2]
         if nxt and (("a" <= nxt <= "z") or ("A" <= nxt <= "Z")):

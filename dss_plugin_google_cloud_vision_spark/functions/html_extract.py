@@ -66,6 +66,22 @@ BLOCK_BOUNDARY_TAGS = frozenset(
 
 _WHITESPACE_RE = re.compile(r"\s+")
 
+# one dict probe per tag event instead of five frozenset probes — the
+# handlers are the hottest callbacks in the tokenize loop; unknown
+# (inline) tags exit on the None fast path
+_F_BOUNDARY, _F_SKIP, _F_BOILER, _F_ARTICLE, _F_HEADING, _F_ANCHOR = 1, 2, 4, 8, 16, 32
+_TAG_FLAGS: dict = {}
+for _flag, _tags in (
+    (_F_BOUNDARY, BLOCK_BOUNDARY_TAGS),
+    (_F_SKIP, SKIP_SUBTREE_TAGS),
+    (_F_BOILER, BOILERPLATE_TAGS),
+    (_F_ARTICLE, ARTICLE_TAGS),
+    (_F_HEADING, HEADING_TAGS),
+    (_F_ANCHOR, ("a",)),
+):
+    for _tag in _tags:
+        _TAG_FLAGS[_tag] = _TAG_FLAGS.get(_tag, 0) | _flag
+
 
 def _collapse(text: str) -> str:
     # byte-identical to _WHITESPACE_RE.sub(" ", text).strip() — str.split()
@@ -120,17 +136,20 @@ class _BlockCollector(HTMLParser):
         self._segments = []
 
     def handle_starttag(self, tag, attrs):
-        if tag in BLOCK_BOUNDARY_TAGS:
+        flags = _TAG_FLAGS.get(tag)
+        if flags is None:
+            return
+        if flags & _F_BOUNDARY and self._segments:
             self._flush()
-        if tag in SKIP_SUBTREE_TAGS:
+        if flags & _F_SKIP:
             self._skip_depth += 1
-        if tag in BOILERPLATE_TAGS:
+        if flags & _F_BOILER:
             self._boiler_depth += 1
-        if tag in ARTICLE_TAGS:
+        if flags & _F_ARTICLE:
             self._article_depth += 1
-        if tag in HEADING_TAGS:
+        if flags & _F_HEADING:
             self._heading_depth += 1
-        if tag == "a":
+        if flags & _F_ANCHOR:
             self._anchor_depth += 1
 
     def handle_startendtag(self, tag, attrs):
@@ -138,17 +157,20 @@ class _BlockCollector(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag):
-        if tag in BLOCK_BOUNDARY_TAGS:
+        flags = _TAG_FLAGS.get(tag)
+        if flags is None:
+            return
+        if flags & _F_BOUNDARY and self._segments:
             self._flush()
-        if tag in SKIP_SUBTREE_TAGS and self._skip_depth > 0:
+        if flags & _F_SKIP and self._skip_depth > 0:
             self._skip_depth -= 1
-        if tag in BOILERPLATE_TAGS and self._boiler_depth > 0:
+        if flags & _F_BOILER and self._boiler_depth > 0:
             self._boiler_depth -= 1
-        if tag in ARTICLE_TAGS and self._article_depth > 0:
+        if flags & _F_ARTICLE and self._article_depth > 0:
             self._article_depth -= 1
-        if tag in HEADING_TAGS and self._heading_depth > 0:
+        if flags & _F_HEADING and self._heading_depth > 0:
             self._heading_depth -= 1
-        if tag == "a" and self._anchor_depth > 0:
+        if flags & _F_ANCHOR and self._anchor_depth > 0:
             self._anchor_depth -= 1
 
     def handle_data(self, data):

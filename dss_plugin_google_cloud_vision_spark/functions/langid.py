@@ -15,6 +15,7 @@ Language codes come from the reference's supported-language set
 from __future__ import annotations
 
 import re
+from collections import Counter
 from typing import Dict, Tuple
 
 # Small, fixed stopword profiles. Order of dict literals is insertion order
@@ -77,7 +78,8 @@ def guess_language(text: str) -> Tuple[str, float]:
         return "", 0.0
     # ASCII text cannot fall in any non-Latin script range — skip the scan
     # (identical result, this is the dominant case for web text)
-    if not text.isascii():
+    is_ascii = text.isascii()
+    if not is_ascii:
         # single pass; ranges are disjoint and all start at >= 0x370, so
         # accented-Latin chars (< 0x370) are skipped cheaply — result is
         # identical to the per-range scan
@@ -101,11 +103,14 @@ def guess_language(text: str) -> Tuple[str, float]:
                 return code, round(fraction, 4)
     elif not text.strip():
         return "", 0.0
-    tokens = [t.lower() for t in _TOKEN_RE.findall(text)]
+    if is_ascii:
+        # ASCII lowercasing never changes token boundaries: one C-level
+        # pass over the string replaces a per-token lower() loop
+        tokens = _TOKEN_RE.findall(text.lower())
+    else:
+        tokens = [t.lower() for t in _TOKEN_RE.findall(text)]
     if not tokens:
         return "", 0.0
-    from collections import Counter
-
     counts = Counter(tokens)
     # inverted index: one probe per distinct token; tie-break identical to
     # the per-language loop (earlier language wins on equal hits)
