@@ -967,8 +967,10 @@ def q_extract_generated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (binary payload → feature vector via
-    mapInPandas; deterministic fake decode — not SQL-expressible)."""
+    """Multimodal surface (binary payload → feature vector via
+    mapInPandas): image rows are REAL-decoded (PNG/PPM pixel histograms,
+    functions/imaging.py); audio/video use the deterministic fake seam.
+    Python codecs — not SQL-expressible, rows-only check."""
     from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
         extract_media_features,
         synthetic_media_df,

@@ -175,10 +175,31 @@ def sample_centroids(
     return [[float(v) for v in row[0]] for row in rows]
 
 
-def ivf_cell_column(vec_col: Column, centroids: List[List[float]]) -> Column:
+def _flat_dot_sql(vec_sql: str, vals: Sequence[float]) -> str:
+    """Left-associated flat dot-product SQL against literal components —
+    whole-stage-codegen instead of an interpreted per-element fold lambda
+    (~10x on wide assignments), with the identical `x1 + x2 + ...`
+    evaluation order mirrored verbatim by the DuckDB oracle. Literals go
+    through CAST('repr' AS DOUBLE): repr round-trips the exact double in
+    both engines (a bare SQL decimal literal would parse as DECIMAL)."""
+    return " + ".join(
+        f"(CAST(element_at({vec_sql}, {d + 1}) AS DOUBLE) * CAST('{v!r}' AS DOUBLE))"
+        for d, v in enumerate(vals)
+    )
+
+
+def ivf_cell_column(vec_col: Column | str, centroids: List[List[float]]) -> Column:
     """Coarse-quantizer cell id: argmax dot(vec, centroid), ties to the
     lower cell id — one projection over centroid literals, NO shuffle of
-    the corpus (lexicographic min over (−dot, cid) structs)."""
+    the corpus (lexicographic min over (−dot, cid) structs). Pass the
+    vector column by NAME to get the codegen flat-dot form; a Column falls
+    back to the interpreted fold (identical values)."""
+    if isinstance(vec_col, str):
+        structs = ", ".join(
+            f"named_struct('negdot', -({_flat_dot_sql(vec_col, c)}), 'cid', {cid})"
+            for cid, c in enumerate(centroids)
+        )
+        return F.expr(f"array_min(array({structs}))['cid']")
     scored = F.array(
         *[
             F.struct(
@@ -191,6 +212,68 @@ def ivf_cell_column(vec_col: Column, centroids: List[List[float]]) -> Column:
     return F.array_min(scored)["cid"]
 
 
+QUANT_MICRO = 1_000_000
+
+
+def train_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic distributed k-means codebook training, expressed as
+    Spark aggregations (Lloyd iterations with a FIXED iteration count and
+    the lowest-id seeding rule of ``sample_centroids``).
+
+    Cross-engine determinism: per-cell component sums are computed over
+    MICRO-QUANTIZED integers (``round(x * 1e6)`` as bigint) — integer sums
+    are order-independent, so Spark's partial aggregation and DuckDB's
+    streaming aggregate produce the identical mean
+    ``(sum / count) / 1e6`` bit-for-bit; assignments use the same
+    left-fold dot + lowest-cell tie-break as ``ivf_cell_column``. Cells
+    that lose all members keep their previous centroid.
+
+    Scale shape: each iteration is one narrow projection over centroid
+    literals + one groupBy on the cell id (k cells) + a k-row driver
+    collect (the broadcast-build pattern — the codebook ships to the next
+    iteration as literals, exactly how a trained IVF codebook ships to an
+    ingest job)."""
+    centroids = sample_centroids(df, n_centroids, id_col, vec_col)
+    if not centroids:
+        return centroids
+    dim = len(centroids[0])
+    # quantize expressions as ONE parsed SQL string each — 64 python-side
+    # Column chains cost seconds of py4j round-trips per iteration (same
+    # note as dedup.simhash_table). The per-iteration plan compiles fresh
+    # (new centroid literals); that ~seconds JVM codegen cost is constant
+    # and amortizes to nothing at corpus scale.
+    quant_exprs = [
+        f"CAST(round(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {QUANT_MICRO}) AS BIGINT)"
+        f" AS q{d}"
+        for d in range(dim)
+    ]
+    for _ in range(n_iterations):
+        cell = ivf_cell_column(vec_col, centroids)
+        sums = (
+            df.select(cell.alias("cell"), F.col(vec_col))
+            .selectExpr("cell", *quant_exprs)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n"), *[F.sum(f"q{d}").alias(f"s{d}") for d in range(dim)])
+        )
+        by_cell = {row["cell"]: row for row in sums.collect()}
+        centroids = [
+            [
+                (float(by_cell[cid][f"s{d}"]) / by_cell[cid]["n"]) / QUANT_MICRO
+                for d in range(dim)
+            ]
+            if cid in by_cell
+            else centroids[cid]
+            for cid in range(len(centroids))
+        ]
+    return centroids
+
+
 def ivf_topk(
     df: DataFrame,
     query_vector: Sequence[float],
@@ -199,9 +282,12 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iterations: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its nearest
-    sampled centroid (cell), probe only the query's ``n_probe`` nearest
+    TRAINED centroid (k-means codebook, ``train_centroids`` — seeded from
+    the lowest-id rule, ``train_iterations`` Lloyd steps; 0 reproduces the
+    round-2 sampled codebook), probe only the query's ``n_probe`` nearest
     cells, re-rank candidates with exact cosine.
 
     Scale shape: cell assignment is a narrow map over centroid literals
@@ -213,7 +299,7 @@ def ivf_topk(
     Output: vec_id, cos_micro, rank."""
     from pyspark.sql import Window
 
-    centroids = sample_centroids(df, n_centroids, id_col, vec_col)
+    centroids = train_centroids(df, n_centroids, train_iterations, id_col, vec_col)
 
     def fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
         acc = 0.0
@@ -227,7 +313,7 @@ def ivf_topk(
     probes = set(probe_order[:n_probe])
     query = F.array(*[F.lit(float(v)) for v in query_vector])
     candidates = df.select(
-        F.col(id_col), F.col(vec_col), ivf_cell_column(F.col(vec_col), centroids).alias("cell")
+        F.col(id_col), F.col(vec_col), ivf_cell_column(vec_col, centroids).alias("cell")
     ).filter(F.col("cell").isin(*probes))
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")

@@ -287,30 +287,78 @@ def lsh_ann_topk_sql(query_vec_id: int = 0, k: int = 10, n_planes: int = 8, n_ba
     )
 
 
-def ivf_topk_sql(
-    query_vec_id: int = 0, k: int = 10, n_centroids: int = 16, n_probe: int = 4
-) -> str:
-    """Fully-relational mirror of operators.similarity.ivf_topk: sampled
-    centroid codebook (lowest ids), argmax-dot cell assignment, probe the
-    query's n_probe nearest cells, exact-cosine re-rank. Identical double
-    fold order on both engines → identical cells, probes and ranks."""
-    assign_dot = DOT.format(a="e.embedding", b="c.cvec")
-    probe_dot = DOT.format(a="q.qv", b="c.cvec")
+def _flat_dot(a: str, b: str, dim: int) -> str:
+    """Left-associated flat dot mirror of similarity._flat_dot_sql — the
+    identical `x1 + x2 + ...` evaluation order as Spark's codegen chain."""
+    return " + ".join(
+        f"(CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE))" for d in range(dim)
+    )
+
+
+def _assign_cte(name: str, cents: str, source: str = "embeddings", dim: int = 64) -> str:
+    """Argmax-dot cell assignment against the ``cents`` codebook CTE —
+    identical flat-sum order and (dot DESC, cid) tie-break as
+    operators.similarity.ivf_cell_column."""
+    assign_dot = _flat_dot("e.embedding", "c.cvec", dim)
     return (
-        "WITH cents AS ("
-        " SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
-        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec"
-        f" FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids})), "
-        "assigned AS ("
+        f"{name} AS ("
         " SELECT vec_id, embedding, cell FROM ("
         "  SELECT e.vec_id, e.embedding, c.cid AS cell,"
         f"   row_number() OVER (PARTITION BY e.vec_id ORDER BY {assign_dot} DESC, c.cid) AS rn"
-        "  FROM embeddings e, cents c) WHERE rn = 1), "
+        f"  FROM {source} e, {cents} c) WHERE rn = 1)"
+    )
+
+
+def _kmeans_step_ctes(step: int, dim: int) -> str:
+    """One Lloyd iteration: assignment against cents{step-1} → per-cell
+    micro-quantized integer component sums (order-independent, so Spark's
+    partial aggregation agrees bit-for-bit) → cents{step} as
+    ``(sum / count) / 1e6`` with empty cells keeping their previous
+    centroid (mirror of operators.similarity.train_centroids)."""
+    sums = ", ".join(
+        f"sum(cast(round(cast(embedding[{d + 1}] AS double) * 1000000) AS bigint)) AS s{d}"
+        for d in range(dim)
+    )
+    mean_list = ", ".join(f"(cast(m.s{d} AS double) / m.n) / 1000000.0" for d in range(dim))
+    return (
+        f"{_assign_cte(f'a{step - 1}', f'cents{step - 1}')}, "
+        f"m{step} AS (SELECT cell, count(*) AS n, {sums} FROM a{step - 1} GROUP BY cell), "
+        f"cents{step} AS ("
+        " SELECT c.cid,"
+        f"  CASE WHEN m.cell IS NULL THEN c.cvec ELSE [{mean_list}] END AS cvec"
+        f" FROM cents{step - 1} c LEFT JOIN m{step} m ON m.cell = c.cid)"
+    )
+
+
+def ivf_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_iterations: int = 2,
+    dim: int = 64,
+) -> str:
+    """Fully-relational mirror of operators.similarity.ivf_topk: k-means
+    codebook (lowest-id seeding + ``train_iterations`` Lloyd steps over
+    micro-quantized integer sums), argmax-dot cell assignment, probe the
+    query's n_probe nearest cells, exact-cosine re-rank. Identical double
+    fold order on both engines → identical codebook, cells, probes and
+    ranks."""
+    probe_dot = DOT.format(a="q.qv", b="c.cvec")
+    train = "".join(", " + _kmeans_step_ctes(s, dim) for s in range(1, train_iterations + 1))
+    final_cents = f"cents{train_iterations}"
+    return (
+        "WITH cents0 AS ("
+        " SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec"
+        f" FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids}))"
+        f"{train}, "
+        f"{_assign_cte('assigned', final_cents)}, "
         f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
         "probes AS ("
         " SELECT cid FROM ("
         f"  SELECT c.cid, row_number() OVER (ORDER BY {probe_dot} DESC, c.cid) AS pr"
-        f"  FROM cents c, q) WHERE pr <= {n_probe}), "
+        f"  FROM {final_cents} c, q) WHERE pr <= {n_probe}), "
         "cand AS (SELECT a.vec_id, a.embedding FROM assigned a JOIN probes p ON a.cell = p.cid), "
         f"scored AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro FROM cand, q) "
         "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("

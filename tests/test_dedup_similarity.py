@@ -241,3 +241,59 @@ def test_hot_bucket_guard_bounds_planted_family(spark):
     with_cap = minhash_candidate_pairs(clean, max_bucket_size=DEFAULT_MAX_BAND_BUCKET)
     without_cap = minhash_candidate_pairs(clean, max_bucket_size=None)
     assert sorted(map(tuple, with_cap.collect())) == sorted(map(tuple, without_cap.collect()))
+
+
+def test_trained_ivf_improves_recall_on_clustered_data(spark):
+    """On clustered data whose lowest-id vectors all sit in ONE cluster,
+    the sampled codebook (train_iterations=0) wastes cells and loses
+    recall; trained k-means centroids spread over the clusters and improve
+    recall@10 vs brute force. Also pins determinism: two training runs
+    produce the identical codebook."""
+    import math
+
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    # 8 well-separated cluster directions in 16 dims, 40 members each;
+    # ids ordered so vec_id 0..39 is entirely cluster 0 (seeding trap)
+    dim, n_clusters, per_cluster = 16, 8, 40
+    rows = []
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            base = [0.0] * dim
+            base[2 * c] = 1.0
+            base[2 * c + 1] = 0.35
+            # deterministic perturbation large enough that the sampled
+            # (lowest-id, all-cluster-0) codebook scatters cluster members
+            # across cells
+            for d in range(dim):
+                base[d] += ((c * per_cluster + m) * (d + 3) % 17 - 8) / 40.0
+            norm = math.sqrt(sum(x * x for x in base))
+            rows.append((c * per_cluster + m, [x / norm for x in base]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(4)
+
+    # query: a member of the seed cluster itself — its neighbors scatter
+    # across the near-identical sampled cells, so probe-2 misses several
+    query = rows[6][1]
+    brute_ids = [r["vec_id"] for r in brute_force_topk(df, query, k=10).collect()]
+
+    def recall(train_iterations):
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                df, query, k=10, n_centroids=8, n_probe=2, train_iterations=train_iterations
+            ).collect()
+        }
+        return len(got & set(brute_ids)) / 10.0
+
+    sampled, trained = recall(0), recall(2)
+    assert trained > sampled
+    assert trained == 1.0
+
+    # determinism: identical codebook across runs / partitionings
+    c1 = train_centroids(df, n_centroids=8, n_iterations=2)
+    c2 = train_centroids(df.repartition(11), n_centroids=8, n_iterations=2)
+    assert c1 == c2
