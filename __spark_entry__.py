@@ -858,6 +858,54 @@ def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_table(_table(spark, sf_dir, "documents"))
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene pass: URLs/emails/phones planted into every
+    document (deterministically, mirrored by the oracle) must be counted
+    and redacted by typed placeholders — pure JVM regexp, exact oracle."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        pii_counts,
+        redact_pii_column,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".org/p?q=1 or +1 (555) 010-"),
+            F.format_string("%04d", (F.col("doc_id") % 10000).cast("int")),
+        ).alias("text"),
+    )
+    counts = pii_counts()
+    return planted.select(
+        "doc_id",
+        redact_pii_column().alias("redacted"),
+        *[expr.alias(name) for name, expr in counts.items()],
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal (top-bigram fraction) over documents
+    with a planted spam tail on every fifth doc — the quality rule that
+    gates boilerplate/spam out of a training corpus."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import repetition_table
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" spam spam spam spam spam spam")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_table(docs)
+
+
 def q_column_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 column reorder as a constant-shape roundtrip: a deliberately
     scrambled column layout is normalized by move_api_columns_to_end under
@@ -969,7 +1017,8 @@ def q_extract_generated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface (binary payload → feature vector via
     mapInPandas): image rows are REAL-decoded (PNG/PPM pixel histograms,
-    functions/imaging.py); audio/video use the deterministic fake seam.
+    functions/imaging.py), audio rows likewise (PCM WAV sample histograms,
+    functions/audio.py); video uses the deterministic fake seam.
     Python codecs — not SQL-expressible, rows-only check."""
     from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
         extract_media_features,
@@ -1033,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "skew_two_phase": q_skew_two_phase,
         "politeness_slots": q_politeness_slots,
+        "pii_redaction": q_pii_redaction,
+        "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
         "param_validation_echo": q_param_validation_echo,
         "column_descriptions_sink": q_column_descriptions_sink,
@@ -1231,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "langid_stopword": _oracles.langid_sql(),
+        "pii_redaction": _oracles.pii_redaction_sql(),
+        "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -127,13 +127,18 @@ def incremental_exact_dedup(
     output_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> int:
+    return_corpus_size: bool = False,
+) -> int | None:
     """Cross-run exact dedup (the dedup analogue of checkpoint-resume):
     drop rows whose text fingerprint already exists in the deduplicated
     corpus at ``output_path``, dedup the increment itself (keep-first on
     min id), and append the survivors — which carry a ``_fp`` md5 column,
     so the history scan of the next increment is a single 32-byte column
-    (column pruning), never the text. Returns the corpus size afterwards.
+    (column pruning), never the text.
+
+    Returns None by default; ``return_corpus_size=True`` counts the corpus
+    afterwards — a deliberate full-metadata scan per increment, so it is
+    opt-in (at 100 TB the count belongs in table metadata, not here).
 
     Call once per arriving increment; re-running on already-ingested data
     is a no-op (every fingerprint already present)."""
@@ -146,7 +151,9 @@ def incremental_exact_dedup(
     keepers = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     surviving = fresh.join(keepers, [id_col, "_fp"], "left_semi")
     surviving.write.mode("append").parquet(output_path)
-    return spark.read.parquet(output_path).count()
+    if return_corpus_size:
+        return spark.read.parquet(output_path).count()
+    return None
 
 
 def minhash_signature(

@@ -16,12 +16,14 @@ Codec status (the honest seam):
   ``functions.imaging`` (stdlib zlib + numpy — full chunk/CRC walk and
   scanline unfiltering; the role PIL plays in the reference's
   document_utils.py:98-129). Features come from actual pixel values.
-- Audio resample and video frame decode remain STUBBED — no audio/video
-  library in this environment. With ``strict=True`` an audio/video row
-  raises ``NotImplementedError`` ("plug a real decoder here"); by default
-  those kinds fall back to a *deterministic fake decode* (byte-level
-  statistics standing in for sample data) so pipelines, schemas and batch
-  shapes stay exercised end-to-end.
+- **Audio is decoded for REAL**: 16-bit PCM WAV via ``functions.audio``
+  (stdlib ``wave``). Features come from actual sample values.
+- Video frame decode remains STUBBED — no video library in this
+  environment. With ``strict=True`` a video row raises
+  ``NotImplementedError`` ("plug a real decoder here"); by default video
+  falls back to a *deterministic fake decode* (byte-level statistics
+  standing in for frame data) so pipelines, schemas and batch shapes stay
+  exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -41,11 +43,20 @@ MEDIA_DDL = (
 FEATURE_BINS = 16
 
 DECODE_STUB_NOTE = (
-    "audio/video decode is stubbed in this environment: plug a real decoder "
-    "(ffmpeg/libsndfile) into the strict path; the deterministic fake keeps "
-    "schemas, batch shapes and downstream plumbing real (images decode for "
-    "real via functions.imaging)"
+    "video decode is stubbed in this environment: plug a real decoder "
+    "(ffmpeg) into the strict path; the deterministic fake keeps schemas, "
+    "batch shapes and downstream plumbing real (images decode for real via "
+    "functions.imaging, audio via functions.audio)"
 )
+
+
+def synthetic_audio_samples(i: int, seed: int = 42, n_frames: int = 2048) -> np.ndarray:
+    """Deterministic int16 mono waveform, a pure function of (seed, id):
+    a quantized integer chirp-ish pattern (no float trig — bit-exact on
+    any platform)."""
+    t = np.arange(n_frames, dtype=np.int64)
+    wave_ = ((t * (31 + (i % 13)) + seed) % 65536) - 32768
+    return (wave_ // 2).astype(np.int16)
 
 
 def synthetic_image_pixels(i: int, seed: int = 42) -> np.ndarray:
@@ -57,9 +68,11 @@ def synthetic_image_pixels(i: int, seed: int = 42) -> np.ndarray:
 
 def synthetic_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table: image payloads are REAL encoded PNGs
-    (every third one a binary PPM) of ``synthetic_image_pixels``;
-    audio/video payloads are opaque deterministic byte blobs; all pure
-    functions of (seed, id)."""
+    (every third one a binary PPM) of ``synthetic_image_pixels``; audio
+    payloads are REAL 16-bit PCM WAVs of ``synthetic_audio_samples``;
+    video payloads are opaque deterministic byte blobs; all pure functions
+    of (seed, id)."""
+    from ..functions.audio import encode_wav
     from ..functions.imaging import encode_png, encode_ppm
 
     kinds = ["image", "audio", "video"]
@@ -72,14 +85,23 @@ def synthetic_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
             mime = "image/x-portable-pixmap" if i % 9 == 0 else "image/png"
             meta = {"mime": mime, "width": pixels.shape[1], "height": pixels.shape[0],
                     "duration_ms": None}
+        elif kind == "audio":
+            samples = synthetic_audio_samples(i, seed)
+            payload = encode_wav(samples, rate=16000)
+            meta = {
+                "mime": "audio/wav",
+                "width": None,
+                "height": None,
+                "duration_ms": int(len(samples) * 1000 / 16000),
+            }
         else:
             # deterministic pseudo-random payload, 256..4096 bytes
             size = 256 + ((i * 2654435761 + seed) % 3841)
             payload = bytes((j * 31 + i * 7 + seed) % 256 for j in range(size))
             meta = {
-                "mime": {"audio": "audio/wav", "video": "video/mp4"}[kind],
-                "width": 64 + (i % 8) * 16 if kind == "video" else None,
-                "height": 48 + (i % 6) * 16 if kind == "video" else None,
+                "mime": "video/mp4",
+                "width": 64 + (i % 8) * 16,
+                "height": 48 + (i % 6) * 16,
                 "duration_ms": 1000 + i * 250,
             }
         rows.append((i, kind, payload, meta))
@@ -112,12 +134,14 @@ def extract_media_features(
     columns, via ``mapInPandas`` (Arrow-batched, NumPy inside).
 
     Image rows are decoded for REAL (PNG/PPM, ``functions.imaging``) and
-    featurized over actual pixel values; undecodable image payloads land
-    in ``feature_error``. Audio/video rows use the deterministic
-    byte-statistics fake by default; with ``strict=True`` they raise
-    ``NotImplementedError`` — the marked seam where a real audio/video
-    decoder goes (see DECODE_STUB_NOTE).
+    featurized over actual pixel values; audio rows likewise (PCM WAV,
+    ``functions.audio`` — 16-bit samples mapped onto the same byte-valued
+    histogram bins); undecodable payloads land in ``feature_error``.
+    Video rows use the deterministic byte-statistics fake by default; with
+    ``strict=True`` they raise ``NotImplementedError`` — the marked seam
+    where a real video decoder goes (see DECODE_STUB_NOTE).
     """
+    from ..functions.audio import AudioDecodeError, decode_wav
     from ..functions.imaging import ImageDecodeError, decode_image
 
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
@@ -132,12 +156,18 @@ def extract_media_features(
                     if kind == "image":
                         pixels, _codec = decode_image(bytes(payload or b""))
                         features.append(_pixel_histogram(pixels, n_bins).tolist())
+                    elif kind == "audio":
+                        samples, _rate = decode_wav(bytes(payload or b""))
+                        # int16 → the byte-valued bin domain shared with
+                        # images: (s + 32768) >> 8 is exactly 0..255
+                        as_bytes = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+                        features.append(_pixel_histogram(as_bytes, n_bins).tolist())
                     elif strict:
                         raise NotImplementedError(DECODE_STUB_NOTE)
                     else:
                         features.append(_fake_decode(payload, n_bins).tolist())
                     errors.append("")
-                except (ValueError, ImageDecodeError) as error:
+                except (ValueError, ImageDecodeError, AudioDecodeError) as error:
                     features.append(None)
                     errors.append(str(error))
             pdf = pdf.copy()

@@ -160,3 +160,82 @@ def langid_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         expr = F.when(F.col(f"_hits_{code}") == best, F.lit(code)).otherwise(expr)
     expr = F.when(best == 0, F.lit("")).otherwise(expr)
     return with_hits.select(F.col(id_col), expr.alias("lang_detected"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene pass)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backrefs) so Spark and the DuckDB oracle match identical spans.
+PII_PATTERNS = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", r"\+[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_counts(text_col: str = "text") -> Dict[str, Column]:
+    """Per-kind PII match counts (JVM regexp, no Python)."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast(
+            "bigint"
+        )
+        for kind, pattern, _ in PII_PATTERNS
+    }
+
+
+def redact_pii_column(text_col: str = "text") -> Column:
+    """Scrubbed text: URLs, then emails, then phone numbers replaced by
+    typed placeholders — the standard hygiene pass before a crawl dump
+    becomes training data. Application order is fixed (URL first, so a
+    URL's path can't half-match the email pattern) and mirrored verbatim
+    by the oracle."""
+    out = F.col(text_col)
+    for _, pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# repetition signal (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+
+def repetition_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-bigram repetition ratio per document: the Gopher-style "most
+    frequent n-gram fraction" quality signal. Output: id, n_bigrams,
+    top_bigram_n, rep_milli = floor(1000 * top / total) (0 for docs with
+    no bigram).
+
+    Shape: bigram explode → (doc, bigram) count → per-doc max/sum — two
+    aggregations that stay keyed on the doc id (one shuffle each, map-side
+    combinable); integer output, exact oracle."""
+    toks = F.split(F.col(text_col), " ")
+    bound = df.select(F.col(id_col), toks.alias("_toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_toks")) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(F.col("_toks"), i), F.element_at(F.col("_toks"), i + 1)),
+    )
+    exploded = bound.select(
+        F.col(id_col),
+        F.explode(F.when(F.size(F.col("_toks")) >= 2, bigrams).otherwise(F.array())).alias(
+            "bigram"
+        ),
+    )
+    per_bigram = exploded.groupBy(id_col, "bigram").agg(F.count("*").alias("n"))
+    stats = per_bigram.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bigram_n")
+    )
+    # left join back so bigram-less docs keep a row with zeros
+    base = df.select(F.col(id_col))
+    return base.join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("bigint").alias("top_bigram_n"),
+        F.coalesce(
+            F.floor(F.col("top_bigram_n") * 1000 / F.col("n_bigrams")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rep_milli"),
+    )

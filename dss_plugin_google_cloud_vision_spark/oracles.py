@@ -455,6 +455,48 @@ def fingerprint_sql(k: int = 5) -> str:
     )
 
 
+def pii_redaction_sql() -> str:
+    """Mirror of q_pii_redaction: same planted text, same PII_PATTERNS
+    constants (Java-regex ∩ RE2 subset), same replacement order."""
+    from .operators.textstats import PII_PATTERNS
+
+    redacted = "text"
+    for _, pattern, placeholder in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{placeholder}', 'g')"
+    count_cols = ", ".join(
+        f"cast(len(regexp_extract_all(text, '{pattern}')) AS bigint) AS n_{kind}"
+        for kind, pattern, _ in PII_PATTERNS
+    )
+    return (
+        "WITH planted AS ("
+        " SELECT doc_id, text || ' contact user' || cast(doc_id AS varchar)"
+        " || '@example.com via https://site' || cast(doc_id AS varchar)"
+        " || '.org/p?q=1 or +1 (555) 010-' || printf('%04d', cast(doc_id % 10000 AS int))"
+        " AS text FROM documents) "
+        f"SELECT doc_id, {redacted} AS redacted, {count_cols} FROM planted"
+    )
+
+
+def repetition_sql() -> str:
+    """Mirror of operators.textstats.repetition_table over the planted-spam
+    corpus of q_repetition_stats."""
+    return (
+        "WITH corpus AS ("
+        " SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+        "  THEN text || ' spam spam spam spam spam spam' ELSE text END AS text"
+        " FROM documents), "
+        "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus), "
+        "bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),"
+        " i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks WHERE len(t) >= 2), "
+        "per AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram), "
+        "stats AS (SELECT doc_id, sum(n) AS nb, max(n) AS tb FROM per GROUP BY doc_id) "
+        "SELECT d.doc_id, cast(coalesce(s.nb, 0) AS bigint) AS n_bigrams, "
+        "cast(coalesce(s.tb, 0) AS bigint) AS top_bigram_n, "
+        "cast(coalesce(floor(s.tb * 1000 / s.nb), 0) AS bigint) AS rep_milli "
+        "FROM corpus d LEFT JOIN stats s ON s.doc_id = d.doc_id"
+    )
+
+
 def langid_sql() -> str:
     hit_cols = []
     for code, stopwords in LANG_STOPWORDS.items():

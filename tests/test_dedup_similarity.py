@@ -94,7 +94,7 @@ def test_incremental_exact_dedup_across_runs(spark, tmp_path):
         [(1, "alpha text one"), (2, "beta text two"), (3, "alpha text one")],
         "doc_id int, text string",
     )
-    n1 = incremental_exact_dedup(spark, inc1, out)
+    n1 = incremental_exact_dedup(spark, inc1, out, return_corpus_size=True)
     assert n1 == 2  # in-increment duplicate dropped, keeper = min id
 
     # increment 2: one cross-run duplicate, one new, one in-increment dup
@@ -102,13 +102,15 @@ def test_incremental_exact_dedup_across_runs(spark, tmp_path):
         [(10, "beta text two"), (11, "gamma text three"), (12, "gamma text three")],
         "doc_id int, text string",
     )
-    n2 = incremental_exact_dedup(spark, inc2, out)
+    n2 = incremental_exact_dedup(spark, inc2, out, return_corpus_size=True)
     assert n2 == 3
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept == {1, 2, 11}
 
-    # re-ingesting increment 2 is a no-op
-    assert incremental_exact_dedup(spark, inc2, out) == 3
+    # re-ingesting increment 2 is a no-op; the default return is None
+    # (no full-corpus count per increment — opt-in only)
+    assert incremental_exact_dedup(spark, inc2, out) is None
+    assert spark.read.parquet(out).count() == 3
 
 
 def test_near_dup_clusters_chain(spark):

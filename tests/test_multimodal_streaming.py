@@ -40,7 +40,8 @@ def test_media_features_error_capture(spark):
             (1, "image", b"", None),  # empty payload -> error
             (2, "image", b"\x01\x02\x03", None),  # garbage: real decoder rejects it
             (3, "image", good_png, None),  # valid PNG -> real decode
-            (4, "audio", b"\x01\x02\x03", None),  # non-image: fake path still works
+            (4, "video", b"\x01\x02\x03", None),  # video: fake path still works
+            (5, "audio", b"\x01\x02\x03", None),  # garbage audio: real decoder rejects
         ],
         "media_id bigint, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
     )
@@ -49,6 +50,7 @@ def test_media_features_error_capture(spark):
     assert rows[2]["features"] is None and "unsupported image codec" in rows[2]["feature_error"]
     assert rows[3]["features"] is not None and rows[3]["feature_error"] == ""
     assert rows[4]["features"] is not None and rows[4]["feature_error"] == ""
+    assert rows[5]["features"] is None and "not a WAV payload" in rows[5]["feature_error"]
 
 
 def test_media_strict_mode_marks_stub(spark):
@@ -219,13 +221,52 @@ def test_media_features_real_decode_analytic(spark):
         assert got.shape == expected.shape and np.allclose(got, expected, atol=0, rtol=0)
 
 
-def test_media_strict_mode_images_decode_audio_raises(spark):
-    """strict=True: images-only tables run fully on the real decoder;
-    audio/video still hit the marked NotImplementedError seam."""
-    images = synthetic_media_df(spark, 12).filter(F.col("kind") == "image")
-    out = extract_media_features(images, strict=True).collect()
+def test_media_strict_mode_images_audio_decode_video_raises(spark):
+    """strict=True: image AND audio tables run fully on the real decoders;
+    video still hits the marked NotImplementedError seam."""
+    decodable = synthetic_media_df(spark, 12).filter(F.col("kind") != "video")
+    out = extract_media_features(decodable, strict=True).collect()
     assert len(out) > 0 and all(r["feature_error"] == "" for r in out)
-    audio = synthetic_media_df(spark, 12).filter(F.col("kind") == "audio")
+    video = synthetic_media_df(spark, 12).filter(F.col("kind") == "video")
     with pytest.raises(Exception) as excinfo:
-        extract_media_features(audio, strict=True).collect()
+        extract_media_features(video, strict=True).collect()
     assert "NotImplementedError" in str(excinfo.value) or "stubbed" in str(excinfo.value)
+
+
+def test_wav_codec_roundtrip_and_analytic_features(spark):
+    """WAV encode->decode is the identity; audio features must come from
+    DECODED SAMPLES (analytic expectation from the synthetic waveform)."""
+    import numpy as np
+
+    from dss_plugin_google_cloud_vision_spark.functions.audio import (
+        AudioDecodeError,
+        decode_wav,
+        encode_wav,
+    )
+    from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
+        FEATURE_BINS,
+        synthetic_audio_samples,
+        synthetic_media_df,
+    )
+
+    samples = synthetic_audio_samples(4)
+    decoded, rate = decode_wav(encode_wav(samples, rate=16000))
+    assert rate == 16000 and (decoded[:, 0] == samples).all()
+    stereo = np.stack([samples, -samples - 1], axis=1)
+    decoded2, _ = decode_wav(encode_wav(stereo))
+    assert (decoded2 == stereo).all()
+    import pytest as _pytest
+
+    with _pytest.raises(AudioDecodeError):
+        decode_wav(b"\x01\x02\x03")
+
+    audio = synthetic_media_df(spark, 24).filter(F.col("kind") == "audio")
+    rows = {r["media_id"]: r for r in extract_media_features(audio).collect()}
+    assert rows
+    for media_id, row in rows.items():
+        s = synthetic_audio_samples(media_id).astype(np.int32)
+        as_bytes = ((s + 32768) >> 8).astype(np.uint8)
+        hist, _ = np.histogram(as_bytes, bins=FEATURE_BINS, range=(0, 256))
+        expected = hist / as_bytes.size
+        assert row["feature_error"] == ""
+        assert np.allclose(np.array(row["features"]), expected, atol=0, rtol=0)
