@@ -858,6 +858,25 @@ def q_langid_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_table(_table(spark, sf_dir, "documents"))
 
 
+def q_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 partitioned-folder union as a write-then-read roundtrip: the
+    corpus is laid out hive-style (partitionBy lang — the (host,
+    warc_ts-bucket) layout of the north rule in miniature), read back as
+    one multi-folder scan, and a two-partition filter must come back
+    identical to the flat table (partition PRUNING is plan-asserted in
+    tests/test_plan_quality.py)."""
+    import tempfile
+
+    docs = _table(spark, sf_dir, "documents")
+    target = os.path.join(tempfile.gettempdir(), "oracle_partitioned_docs.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(target)
+    back = spark.read.parquet(target).filter(F.col("lang").isin("en", "fr"))
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene pass: URLs/emails/phones planted into every
     document (deterministically, mirrored by the oracle) must be counted
@@ -1082,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "skew_two_phase": q_skew_two_phase,
         "politeness_slots": q_politeness_slots,
+        "partitioned_pruned_scan": q_partitioned_pruned_scan,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1282,6 +1302,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "langid_stopword": _oracles.langid_sql(),
+        "partitioned_pruned_scan": (
+            "SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars "
+            "FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang"
+        ),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

@@ -28,7 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..operators.sessions import DEFAULT_GAP_SECONDS, epoch_micros
 
-STATE_SCHEMA = "start_us long, last_us long, n_events long"
+STATE_SCHEMA = "start_us long, last_us long, n_events long, last_wm_us long"
 
 
 def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
@@ -41,9 +41,9 @@ def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         if event_time_timeout and state.hasTimedOut:
-            # idle flush: the watermark passed last_us + gap with no new
-            # events for this key — close the open session and drop state
-            start_us, last_us, n_events = state.get
+            # idle flush: the watermark passed the open session's end + gap
+            # with no new events for this key — close it and drop state
+            start_us, last_us, n_events, _last_wm = state.get
             state.remove()
             yield pd.DataFrame(
                 [(user_id, n_events, start_us, last_us)],
@@ -51,10 +51,11 @@ def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
             )
             return
         if state.exists:
-            start_us, last_us, n_events = state.get
+            start_us, last_us, n_events, last_wm_us = state.get
         else:
             start_us = last_us = None
             n_events = 0
+            last_wm_us = 0
         closed = []
         # the group's rows arrive as MULTIPLE pandas chunks in arbitrary
         # cross-chunk order — concatenate before sorting (sorting each
@@ -63,18 +64,28 @@ def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
         chunks = [pdf for pdf in batches if len(pdf)]
         if chunks:
             ordered = pd.concat(chunks).sort_values(["ts_us", "event_id"])
-            for ts_us in ordered["ts_us"]:
-                ts_us = int(ts_us)
+            has_wm = "wm_us" in ordered.columns
+            for row_ts, row_wm in zip(
+                ordered["ts_us"], ordered["wm_us"] if has_wm else ordered["ts_us"]
+            ):
+                ts_us = int(row_ts)
                 if last_us is not None and ts_us - last_us > gap_us:
                     closed.append((user_id, n_events, start_us, last_us))
                     start_us, n_events = ts_us, 0
                 if start_us is None:
                     start_us = ts_us
                 last_us = ts_us
+                if has_wm:
+                    # max(): the NTZ→TZ cast is non-monotone across a DST
+                    # fall-back; the timeout clock must never move backward
+                    last_wm_us = max(last_wm_us, int(row_wm))
                 n_events += 1
-        state.update((start_us, last_us, n_events))
+        state.update((start_us, last_us, n_events, last_wm_us))
         if event_time_timeout and last_us is not None:
-            state.setTimeoutTimestamp(last_us // 1000 + int(gap_seconds) * 1000)
+            # the timeout is set on the WATERMARK clock (tz-aware epoch of
+            # the cast column) — session bounds stay NTZ wall-clock, so
+            # non-UTC session timezones work
+            state.setTimeoutTimestamp(last_wm_us // 1000 + int(gap_seconds) * 1000)
         if closed:
             yield pd.DataFrame(closed, columns=["user_id", "n_events", "start_us", "end_us"])
 
@@ -105,14 +116,10 @@ def session_state_stream(
     source = events_stream
     timeout = GroupStateTimeout.NoTimeout
     if event_time_timeout:
-        # the watermark clock is TIMESTAMP (tz-aware); our session epochs
-        # are NTZ wall-clock — they coincide only under a UTC session
-        # timezone (which eng.session.get_spark always sets)
-        tz = events_stream.sparkSession.conf.get("spark.sql.session.timeZone")
-        if tz not in ("UTC", "Etc/UTC", "GMT"):
-            raise ValueError(
-                f"event_time_timeout requires spark.sql.session.timeZone=UTC, got {tz}"
-            )
+        # the watermark clock is TIMESTAMP (tz-aware) while session epochs
+        # are NTZ wall-clock; the timeout stamp is derived from the CAST
+        # watermark column's own epoch (``wm_us``), so any session timezone
+        # works — the two clocks are kept separate instead of assumed equal
         source = source.withColumn("_wm_ts", F.col(ts_col).cast("timestamp")).withWatermark(
             "_wm_ts", watermark_delay
         )
@@ -121,7 +128,11 @@ def session_state_stream(
         F.col(key_col).alias("user_id"),
         F.col(order_col).alias("event_id"),
         epoch_micros(F.col(ts_col)).alias("ts_us"),
-        *([F.col("_wm_ts")] if event_time_timeout else []),
+        *(
+            [F.col("_wm_ts"), F.unix_micros(F.col("_wm_ts")).alias("wm_us")]
+            if event_time_timeout
+            else []
+        ),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         _make_update_fn(gap_seconds, event_time_timeout),

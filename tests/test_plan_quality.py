@@ -112,3 +112,25 @@ def test_ann_topk_uses_take_ordered(spark, sf_dir):
     for fn in (brute_force_topk, lsh_bucketed_topk):
         plan = _plan(fn(emb, query, k=10))
         assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout + a partition-column filter must prune at
+    the SCAN (PartitionFilters carries the IN, and only the matching
+    partition directories are read) — the (host, warc_ts-bucket) layout
+    contract of the north rule."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de", "zh"][i % 4], f"text {i}") for i in range(40)],
+        "doc_id bigint, lang string, text string",
+    )
+    target = str(tmp_path / "part_docs")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(target)
+    scan = spark.read.parquet(target).filter(F.col("lang").isin("en", "fr"))
+    plan_text = _plan(scan)
+    assert "PartitionFilters" in plan_text and "lang" in plan_text.split("PartitionFilters", 1)[1][:200]
+    # pruning is real: only the two matching partition dirs are touched
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    assert files and all(("lang=en" in f or "lang=fr" in f) for f in files)
+    assert scan.count() == 20

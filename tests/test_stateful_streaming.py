@@ -229,3 +229,59 @@ def test_streaming_sessionize_key_spanning_many_arrow_chunks(spark, tmp_path):
     ]
     epoch = 1704067200 * 1_000_000
     assert emitted == [(1, 200, epoch, epoch + 199 * 60 * 1_000_000)]
+
+
+def test_streaming_sessionize_event_time_timeout_non_utc(spark, tmp_path):
+    """The event-time timeout no longer requires a UTC session timezone:
+    the timeout rides the CAST watermark column's own epoch while session
+    bounds stay NTZ wall-clock — same emitted rows under
+    America/New_York."""
+    from datetime import datetime
+
+    from dss_plugin_google_cloud_vision_spark.streaming.sessionize import session_state_stream
+
+    schema = "event_id long, user_id long, ts timestamp_ntz"
+    t = lambda h, m=0: datetime(2024, 1, 1, h, m)  # noqa: E731
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "closed")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).format("parquet").option("path", input_dir).load()
+        closed = session_state_stream(stream, gap_seconds=21600, event_time_timeout=True)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            closed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+
+    original_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        write([(1, 1, t(0)), (2, 1, t(0, 30)), (3, 2, t(0)), (4, 2, t(1))])
+        run()
+        write([(5, 2, t(10))])
+        run()
+        write([(6, 3, t(20))])
+        run()
+        emitted = {
+            (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original_tz)
+    us = lambda h, m=0: (1704067200 + h * 3600 + m * 60) * 1_000_000  # noqa: E731
+    assert (2, 2, us(0), us(1)) in emitted
+    assert (1, 2, us(0), us(0, 30)) in emitted
+    assert (2, 1, us(10), us(10)) in emitted
+    assert len(emitted) == 3
