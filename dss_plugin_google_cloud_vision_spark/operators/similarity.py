@@ -175,41 +175,65 @@ def sample_centroids(
     return [[float(v) for v in row[0]] for row in rows]
 
 
-def _flat_dot_sql(vec_sql: str, vals: Sequence[float]) -> str:
-    """Left-associated flat dot-product SQL against literal components —
-    whole-stage-codegen instead of an interpreted per-element fold lambda
-    (~10x on wide assignments), with the identical `x1 + x2 + ...`
-    evaluation order mirrored verbatim by the DuckDB oracle. Literals go
-    through CAST('repr' AS DOUBLE): repr round-trips the exact double in
-    both engines (a bare SQL decimal literal would parse as DECIMAL)."""
-    return " + ".join(
-        f"(CAST(element_at({vec_sql}, {d + 1}) AS DOUBLE) * CAST('{v!r}' AS DOUBLE))"
-        for d, v in enumerate(vals)
-    )
+def ivf_cell_udf(centroids: List[List[float]]):
+    """Coarse-quantizer cell assignment as a VECTORIZED Arrow stage:
+    argmax dot(vec, centroid) with ties to the lower cell id.
 
+    Why a pandas_udf and not a codegen expression: the k×dim flat-dot
+    expression form (round-3) exceeded janino's recursion depth once
+    Catalyst inlined it into a pushed-down Filter — Spark then fell back
+    to INTERPRETED evaluation and re-attempted (and re-failed) the
+    compile on every run, costing seconds per query. A numpy kernel
+    behind Arrow batches is both the scale form (one narrow stage, no
+    shuffle, no codegen hazard) and the fast form at any dim.
 
-def ivf_cell_column(vec_col: Column | str, centroids: List[List[float]]) -> Column:
-    """Coarse-quantizer cell id: argmax dot(vec, centroid), ties to the
-    lower cell id — one projection over centroid literals, NO shuffle of
-    the corpus (lexicographic min over (−dot, cid) structs). Pass the
-    vector column by NAME to get the codegen flat-dot form; a Column falls
-    back to the interpreted fold (identical values)."""
-    if isinstance(vec_col, str):
-        structs = ", ".join(
-            f"named_struct('negdot', -({_flat_dot_sql(vec_col, c)}), 'cid', {cid})"
-            for cid, c in enumerate(centroids)
-        )
-        return F.expr(f"array_min(array({structs}))['cid']")
-    scored = F.array(
-        *[
-            F.struct(
-                (-dot_product(vec_col, F.array(*[F.lit(v) for v in c]))).alias("negdot"),
-                F.lit(cid).alias("cid"),
+    Cross-engine determinism: the accumulation loops over dimensions in
+    order, one fused multiply-ADD per step (``acc = acc + x_d * c_d``),
+    so every (row, cell) dot product is the identical left-associated
+    IEEE-double chain the DuckDB oracle spells out textually
+    (oracles._flat_dot) — bit-exact parity, argmax-first-hit = the
+    (dot DESC, cid ASC) tie-break."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    codebook = np.array([[float(v) for v in c] for c in centroids], dtype=np.float64)
+    n_cells, dim = codebook.shape
+
+    def cell_of(vecs):
+        values = vecs.values
+        if len(values) == 0:
+            return pd.Series([], dtype="Int32")
+        present = np.array([v is not None for v in values])
+        out = np.full(len(values), np.nan)
+        if present.any():
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, ok in zip(values, present) if ok]
             )
-            for cid, c in enumerate(centroids)
-        ]
-    )
-    return F.array_min(scored)["cid"]
+            acc = np.zeros((m.shape[0], n_cells))
+            for d in range(dim):
+                # ONE add per dimension — the exact left-fold chain
+                acc = acc + m[:, d : d + 1] * codebook[None, :, d]
+            out[present] = np.argmax(acc, axis=1)
+        # nullable Int32: absent vectors become real SQL NULLs through Arrow
+        return pd.Series(out).astype("Int32")
+
+    # module-level `from __future__ import annotations` stringifies inline
+    # hints, which pandas_udf can't resolve — attach real type objects
+    cell_of.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(cell_of, "int")
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    cell_name: str = "cell",
+) -> DataFrame:
+    """Append the IVF cell id column (``ivf_cell_udf``): a single narrow
+    ArrowEvalPython stage — at ingest scale you would persist/partition
+    by this column so searches prune to probed cells at the scan."""
+    return df.withColumn(cell_name, ivf_cell_udf(centroids)(F.col(vec_col)))
 
 
 QUANT_MICRO = 1_000_000
@@ -231,32 +255,31 @@ def train_centroids(
     are order-independent, so Spark's partial aggregation and DuckDB's
     streaming aggregate produce the identical mean
     ``(sum / count) / 1e6`` bit-for-bit; assignments use the same
-    left-fold dot + lowest-cell tie-break as ``ivf_cell_column``. Cells
+    left-fold dot + lowest-cell tie-break as ``ivf_cell_udf``. Cells
     that lose all members keep their previous centroid.
 
-    Scale shape: each iteration is one narrow projection over centroid
-    literals + one groupBy on the cell id (k cells) + a k-row driver
-    collect (the broadcast-build pattern — the codebook ships to the next
-    iteration as literals, exactly how a trained IVF codebook ships to an
-    ingest job)."""
+    Scale shape: each iteration is one narrow Arrow assignment stage +
+    one groupBy on the cell id (k cells, map-side partial sums) + a
+    k-row driver collect (the broadcast-build pattern — the codebook
+    ships to the next iteration inside the next UDF's closure, exactly
+    how a trained IVF codebook ships to an ingest job). The quantize /
+    sum plan text is centroid-independent, so JVM codegen compiles once
+    for ALL iterations."""
     centroids = sample_centroids(df, n_centroids, id_col, vec_col)
     if not centroids:
         return centroids
     dim = len(centroids[0])
     # quantize expressions as ONE parsed SQL string each — 64 python-side
     # Column chains cost seconds of py4j round-trips per iteration (same
-    # note as dedup.simhash_table). The per-iteration plan compiles fresh
-    # (new centroid literals); that ~seconds JVM codegen cost is constant
-    # and amortizes to nothing at corpus scale.
+    # note as dedup.simhash_table)
     quant_exprs = [
         f"CAST(round(CAST(element_at({vec_col}, {d + 1}) AS DOUBLE) * {QUANT_MICRO}) AS BIGINT)"
         f" AS q{d}"
         for d in range(dim)
     ]
     for _ in range(n_iterations):
-        cell = ivf_cell_column(vec_col, centroids)
         sums = (
-            df.select(cell.alias("cell"), F.col(vec_col))
+            assign_cells(df.select(vec_col), centroids, vec_col)
             .selectExpr("cell", *quant_exprs)
             .groupBy("cell")
             .agg(F.count("*").alias("n"), *[F.sum(f"q{d}").alias(f"s{d}") for d in range(dim)])
@@ -290,13 +313,13 @@ def ivf_topk(
     round-2 sampled codebook), probe only the query's ``n_probe`` nearest
     cells, re-rank candidates with exact cosine.
 
-    Scale shape: cell assignment is a narrow map over centroid literals
-    (at ingest time you would persist/partition by the cell column);
-    search scans ~n_probe/n_centroids of the corpus and ends in
-    TakeOrderedAndProject. Probe selection runs on the driver over the
-    same centroid doubles with the same left-fold order as the engines,
-    so the DuckDB oracle's fully-relational mirror agrees bit-for-bit.
-    Output: vec_id, cos_micro, rank."""
+    Scale shape: cell assignment is one narrow vectorized Arrow stage
+    (at ingest time you would persist/partition by the cell column so
+    searches prune at the scan); search scans ~n_probe/n_centroids of
+    the corpus and ends in TakeOrderedAndProject. Probe selection runs
+    on the driver over the same centroid doubles with the same left-fold
+    order as the engines, so the DuckDB oracle's fully-relational mirror
+    agrees bit-for-bit. Output: vec_id, cos_micro, rank."""
     from pyspark.sql import Window
 
     centroids = train_centroids(df, n_centroids, train_iterations, id_col, vec_col)
@@ -312,9 +335,9 @@ def ivf_topk(
     )
     probes = set(probe_order[:n_probe])
     query = F.array(*[F.lit(float(v)) for v in query_vector])
-    candidates = df.select(
-        F.col(id_col), F.col(vec_col), ivf_cell_column(vec_col, centroids).alias("cell")
-    ).filter(F.col("cell").isin(*probes))
+    candidates = assign_cells(df.select(id_col, vec_col), centroids, vec_col).filter(
+        F.col("cell").isin(*probes)
+    )
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )

@@ -298,7 +298,7 @@ def _flat_dot(a: str, b: str, dim: int) -> str:
 def _assign_cte(name: str, cents: str, source: str = "embeddings", dim: int = 64) -> str:
     """Argmax-dot cell assignment against the ``cents`` codebook CTE —
     identical flat-sum order and (dot DESC, cid) tie-break as
-    operators.similarity.ivf_cell_column."""
+    operators.similarity.ivf_cell_udf."""
     assign_dot = _flat_dot("e.embedding", "c.cvec", dim)
     return (
         f"{name} AS ("
