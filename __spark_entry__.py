@@ -877,6 +877,34 @@ def q_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 empty-result guard at page level: a deterministic subset of PDF
+    payloads (doc_id % 23 == 0) carries the ``%PDF-`` magic but NO page
+    structure — the split guard must raise DocumentSplitError (reference
+    document_utils.py:152-156 analogue, functions/pdf_extract.py) and
+    route it to the error columns as ONE error row per document (null
+    page_number), while every other document still splits into its two
+    layout pages with clean error columns."""
+    from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages
+    from dss_plugin_google_cloud_vision_spark.sources.render import documents_as_pdf_pages
+
+    pages = documents_as_pdf_pages(_table(spark, sf_dir, "documents"))
+    gutted = pages.withColumn(
+        "html",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.encode(F.lit("%PDF-FAKE 1.0\n%%EOF\n"), "UTF-8"),
+        ).otherwise(F.col("html")),
+    )
+    out = extract_pages(gutted, drop_payload=True)
+    return out.select(
+        "doc_id",
+        "page_number",
+        F.col("content_api_error_message").alias("error_message"),
+        F.col("content_api_error_type").alias("error_type"),
+    )
+
+
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene pass: URLs/emails/phones planted into every
     document (deterministically, mirrored by the oracle) must be counted
@@ -1102,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_two_phase": q_skew_two_phase,
         "politeness_slots": q_politeness_slots,
         "partitioned_pruned_scan": q_partitioned_pruned_scan,
+        "split_empty_guard": q_split_empty_guard,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1305,6 +1334,17 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_pruned_scan": (
             "SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars "
             "FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang"
+        ),
+        "split_empty_guard": (
+            "SELECT doc_id, CAST(NULL AS INT) AS page_number, "
+            "'document could not be split' AS error_message, "
+            "'dss_plugin_google_cloud_vision_spark.errors.DocumentSplitError' AS error_type "
+            "FROM documents WHERE doc_id % 23 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, p.page_number, '' AS error_message, '' AS error_type "
+            "FROM documents CROSS JOIN "
+            "(SELECT 1 AS page_number UNION ALL SELECT 2) p "
+            "WHERE doc_id % 23 <> 0"
         ),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
