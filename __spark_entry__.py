@@ -1063,10 +1063,12 @@ def q_extract_generated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface (binary payload → feature vector via
-    mapInPandas): image rows are REAL-decoded (PNG/PPM pixel histograms,
-    functions/imaging.py), audio rows likewise (PCM WAV sample histograms,
-    functions/audio.py); video uses the deterministic fake seam.
-    Python codecs — not SQL-expressible, rows-only check."""
+    mapInPandas): ALL THREE modalities REAL-decoded — images (PNG/PPM
+    pixel histograms, functions/imaging.py), audio (PCM WAV sample
+    histograms, functions/audio.py), video (RGB24 AVI frame-pixel
+    histograms, functions/video.py); the planted undecodable video rows
+    land in feature_error. Python codecs — not SQL-expressible,
+    rows-only check."""
     from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
         extract_media_features,
         synthetic_media_df,

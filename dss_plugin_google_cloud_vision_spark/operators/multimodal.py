@@ -10,20 +10,23 @@ batch iteration (``mapInPandas``), schema contracts, per-batch vectorized
 NumPy feature extraction, deterministic frame sampling, error-column
 capture for undecodable payloads.
 
-Codec status (the honest seam):
+Codec status — ALL THREE modalities now decode for real:
 
-- **Images are decoded for REAL**: PNG and binary PPM via
-  ``functions.imaging`` (stdlib zlib + numpy — full chunk/CRC walk and
-  scanline unfiltering; the role PIL plays in the reference's
-  document_utils.py:98-129). Features come from actual pixel values.
-- **Audio is decoded for REAL**: 16-bit PCM WAV via ``functions.audio``
-  (stdlib ``wave``). Features come from actual sample values.
-- Video frame decode remains STUBBED — no video library in this
-  environment. With ``strict=True`` a video row raises
-  ``NotImplementedError`` ("plug a real decoder here"); by default video
-  falls back to a *deterministic fake decode* (byte-level statistics
-  standing in for frame data) so pipelines, schemas and batch shapes stay
-  exercised end-to-end.
+- **Images**: PNG and binary PPM via ``functions.imaging`` (stdlib zlib
+  + numpy — full chunk/CRC walk and scanline unfiltering; the role PIL
+  plays in the reference's document_utils.py:98-129). Features come from
+  actual pixel values.
+- **Audio**: 16-bit PCM WAV via ``functions.audio`` (stdlib ``wave``).
+  Features come from actual sample values.
+- **Video**: uncompressed RGB24 AVI via ``functions.video`` (RIFF walk,
+  DIB row unpadding/reorder, idx1-style frame index for sampling).
+  Features come from actual frame pixels; the frame sampler seeks to
+  real ``00db`` chunk offsets without decoding.
+
+Payloads none of these codecs accept (e.g. a compressed mp4) land in the
+error column — or raise under ``strict=True`` (fail-fast). A production
+deployment swaps the codec modules for PIL/libsndfile/ffmpeg behind the
+same function signatures.
 """
 
 from __future__ import annotations
@@ -33,7 +36,6 @@ from typing import Iterable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 MEDIA_DDL = (
     "media_id bigint, kind string, payload binary, "
@@ -41,14 +43,6 @@ MEDIA_DDL = (
 )
 
 FEATURE_BINS = 16
-
-DECODE_STUB_NOTE = (
-    "video decode is stubbed in this environment: plug a real decoder "
-    "(ffmpeg) into the strict path; the deterministic fake keeps schemas, "
-    "batch shapes and downstream plumbing real (images decode for real via "
-    "functions.imaging, audio via functions.audio)"
-)
-
 
 def synthetic_audio_samples(i: int, seed: int = 42, n_frames: int = 2048) -> np.ndarray:
     """Deterministic int16 mono waveform, a pure function of (seed, id):
@@ -66,14 +60,26 @@ def synthetic_image_pixels(i: int, seed: int = 42) -> np.ndarray:
     return ((seed + i * 31 + y * 7 + x * 3 + c * 11) % 256).astype(np.uint8)
 
 
+def synthetic_video_frames(i: int, seed: int = 42) -> np.ndarray:
+    """Deterministic small RGB frame stack, a pure function of (seed, id):
+    a base image with a per-frame brightness sweep."""
+    n_frames = 4 + (i % 4)
+    base = synthetic_image_pixels(i, seed).astype(np.int64)
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None, None]
+    return ((base[None] + f * 17) % 256).astype(np.uint8)
+
+
 def synthetic_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table: image payloads are REAL encoded PNGs
     (every third one a binary PPM) of ``synthetic_image_pixels``; audio
     payloads are REAL 16-bit PCM WAVs of ``synthetic_audio_samples``;
-    video payloads are opaque deterministic byte blobs; all pure functions
-    of (seed, id)."""
+    video payloads are REAL uncompressed RGB24 AVIs of
+    ``synthetic_video_frames`` — except every fifth video row, which
+    stays an opaque mp4-labelled byte blob to exercise the undecodable
+    error path; all pure functions of (seed, id)."""
     from ..functions.audio import encode_wav
     from ..functions.imaging import encode_png, encode_ppm
+    from ..functions.video import encode_avi
 
     kinds = ["image", "audio", "video"]
     rows = []
@@ -94,8 +100,8 @@ def synthetic_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
                 "height": None,
                 "duration_ms": int(len(samples) * 1000 / 16000),
             }
-        else:
-            # deterministic pseudo-random payload, 256..4096 bytes
+        elif i % 15 == 14:
+            # undecodable video: deterministic pseudo-random byte blob
             size = 256 + ((i * 2654435761 + seed) % 3841)
             payload = bytes((j * 31 + i * 7 + seed) % 256 for j in range(size))
             meta = {
@@ -103,6 +109,16 @@ def synthetic_media_df(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
                 "width": 64 + (i % 8) * 16,
                 "height": 48 + (i % 6) * 16,
                 "duration_ms": 1000 + i * 250,
+            }
+        else:
+            frames = synthetic_video_frames(i, seed)
+            fps = 8
+            payload = encode_avi(frames, fps=fps)
+            meta = {
+                "mime": "video/x-msvideo",
+                "width": frames.shape[2],
+                "height": frames.shape[1],
+                "duration_ms": int(frames.shape[0] * 1000 / fps),
             }
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_DDL)
@@ -133,16 +149,17 @@ def extract_media_features(
     """payload → fixed-width feature vector (``array<double>``) + error
     columns, via ``mapInPandas`` (Arrow-batched, NumPy inside).
 
-    Image rows are decoded for REAL (PNG/PPM, ``functions.imaging``) and
-    featurized over actual pixel values; audio rows likewise (PCM WAV,
-    ``functions.audio`` — 16-bit samples mapped onto the same byte-valued
-    histogram bins); undecodable payloads land in ``feature_error``.
-    Video rows use the deterministic byte-statistics fake by default; with
-    ``strict=True`` they raise ``NotImplementedError`` — the marked seam
-    where a real video decoder goes (see DECODE_STUB_NOTE).
+    All three modalities decode for REAL: images (PNG/PPM,
+    ``functions.imaging``) featurize actual pixel values; audio (PCM WAV,
+    ``functions.audio``) maps 16-bit samples onto the same byte-valued
+    histogram bins; video (RGB24 AVI, ``functions.video``) featurizes
+    pixels pooled across all frames. Undecodable payloads land in
+    ``feature_error`` — or, under ``strict=True``, abort the task
+    (fail-fast, the ErrorHandling.FAIL analogue).
     """
     from ..functions.audio import AudioDecodeError, decode_wav
     from ..functions.imaging import ImageDecodeError, decode_image
+    from ..functions.video import VideoDecodeError, decode_avi
 
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{out_fields}, features array<double>, feature_error string"
@@ -162,12 +179,15 @@ def extract_media_features(
                         # images: (s + 32768) >> 8 is exactly 0..255
                         as_bytes = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
                         features.append(_pixel_histogram(as_bytes, n_bins).tolist())
-                    elif strict:
-                        raise NotImplementedError(DECODE_STUB_NOTE)
+                    elif kind == "video":
+                        frames, _fps = decode_avi(bytes(payload or b""))
+                        features.append(_pixel_histogram(frames, n_bins).tolist())
                     else:
                         features.append(_fake_decode(payload, n_bins).tolist())
                     errors.append("")
-                except (ValueError, ImageDecodeError, AudioDecodeError) as error:
+                except (ValueError, ImageDecodeError, AudioDecodeError, VideoDecodeError) as error:
+                    if strict:
+                        raise
                     features.append(None)
                     errors.append(str(error))
             pdf = pdf.copy()
@@ -184,52 +204,94 @@ def sample_video_frames(
     n_frames: int = 4,
     strict: bool = False,
 ) -> DataFrame:
-    """Deterministic frame sampling: emits one row per sampled frame with
-    byte offsets evenly spaced through the payload (what a real sampler
-    does with timestamps). 1→N fan-out inside ``mapInPandas`` — same shape
-    as the PDF page explode."""
+    """Deterministic frame sampling, 1→N fan-out inside ``mapInPandas``
+    (same shape as the PDF page explode): emits one row per sampled frame.
+
+    AVI payloads sample REAL frames: an index walk over the ``movi`` list
+    (``functions.video.avi_frame_offsets`` — no pixel decode, the way a
+    real sampler seeks by timestamp) picks ``n_frames`` evenly spaced
+    source frames; ``frame_index`` is the source frame ordinal and
+    ``frame_offset`` the absolute byte offset of that frame's chunk data.
+    Non-AVI payloads fall back to evenly spaced raw byte offsets with
+    ``frame_index`` 0..n-1 — or are dropped under ``strict=True``."""
+    from ..functions.video import VideoDecodeError, avi_frame_offsets
+
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{out_fields}, frame_index int, frame_offset bigint"
 
     def process(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(DECODE_STUB_NOTE)
         for pdf in batches:
-            sizes = np.array(
-                [len(p) if p is not None else 0 for p in pdf[payload_column]], dtype=np.int64
-            )
-            kept = pdf.loc[sizes > 0].reset_index(drop=True)
-            if len(kept) == 0:
+            keep_rows: list = []
+            frame_index: list = []
+            frame_offset: list = []
+            for pos, payload in enumerate(pdf[payload_column]):
+                data = bytes(payload) if payload is not None else b""
+                if len(data) == 0:
+                    continue
+                try:
+                    offsets, _w, _h, _fps = avi_frame_offsets(data)
+                    total = len(offsets)
+                    picks = np.unique((np.arange(n_frames, dtype=np.int64) * total) // n_frames)
+                    for src in picks:
+                        keep_rows.append(pos)
+                        frame_index.append(int(src))
+                        frame_offset.append(offsets[int(src)][0])
+                except VideoDecodeError:
+                    if strict:
+                        continue
+                    for j in range(n_frames):
+                        keep_rows.append(pos)
+                        frame_index.append(j)
+                        frame_offset.append(len(data) * j // n_frames)
+            if not keep_rows:
                 continue
-            sizes = sizes[sizes > 0]
-            # vectorized 1→N fan-out: numpy repeat/tile instead of
-            # row-at-a-time iterrows
-            out = kept.loc[np.repeat(np.arange(len(kept)), n_frames)].reset_index(drop=True)
-            frame_index = np.tile(np.arange(n_frames, dtype=np.int32), len(kept))
-            out["frame_index"] = frame_index
-            out["frame_offset"] = (np.repeat(sizes, n_frames) * frame_index) // n_frames
+            out = pdf.iloc[keep_rows].reset_index(drop=True)
+            out["frame_index"] = np.array(frame_index, dtype=np.int32)
+            out["frame_offset"] = np.array(frame_offset, dtype=np.int64)
             yield out
 
     return df.mapInPandas(process, schema)
 
 
-def resize_image_stub(
+def resize_image(
     df: DataFrame,
     payload_column: str = "payload",
     target_width: int = 224,
     target_height: int = 224,
     strict: bool = False,
 ) -> DataFrame:
-    """Resize seam: records the target geometry and passes the payload
-    through (a real implementation decodes + resamples + re-encodes).
-    Kept as a column expression so the stub costs nothing at scale."""
-    if strict:
-        raise NotImplementedError(DECODE_STUB_NOTE)
-    return df.withColumn(
-        "resized_meta",
-        F.struct(
-            F.lit(target_width).alias("width"),
-            F.lit(target_height).alias("height"),
-            F.length(F.col(payload_column)).alias("source_bytes"),
-        ),
-    )
+    """REAL image resize: decode (PNG/PPM) → nearest-neighbour resample
+    (pure numpy index arithmetic — deterministic on every platform) →
+    re-encode as PNG. One ``mapInPandas`` stage; undecodable payloads land
+    in ``resize_error`` (or abort the task under ``strict=True``).
+
+    Output: passthrough + ``resized`` binary + ``resize_error`` string."""
+    from ..functions.imaging import ImageDecodeError, decode_image, encode_png
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{out_fields}, resized binary, resize_error string"
+
+    def process(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            errors = []
+            for payload in pdf[payload_column]:
+                try:
+                    pixels, _codec = decode_image(bytes(payload or b""))
+                    height, width = pixels.shape[0], pixels.shape[1]
+                    rows = (np.arange(target_height, dtype=np.int64) * height) // target_height
+                    cols = (np.arange(target_width, dtype=np.int64) * width) // target_width
+                    resampled = pixels[rows][:, cols]
+                    resized.append(encode_png(resampled))
+                    errors.append("")
+                except (ValueError, ImageDecodeError) as error:
+                    if strict:
+                        raise
+                    resized.append(None)
+                    errors.append(str(error))
+            pdf = pdf.copy()
+            pdf["resized"] = resized
+            pdf["resize_error"] = errors
+            yield pdf
+
+    return df.mapInPandas(process, schema)

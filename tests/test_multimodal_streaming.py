@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
     FEATURE_BINS,
     extract_media_features,
-    resize_image_stub,
+    resize_image,
     sample_video_frames,
     synthetic_media_df,
 )
@@ -25,7 +25,10 @@ def test_media_features_schema_and_determinism(spark):
     rows1 = {r["media_id"]: r["features"] for r in out.collect()}
     rows2 = {r["media_id"]: r["features"] for r in extract_media_features(media.repartition(5)).collect()}
     assert rows1 == rows2
-    for features in rows1.values():
+    for media_id, features in rows1.items():
+        if media_id == 14:  # the planted undecodable video row
+            assert features is None
+            continue
         assert len(features) == FEATURE_BINS
         assert abs(sum(features) - 1.0) < 1e-9  # normalized histogram
 
@@ -40,8 +43,9 @@ def test_media_features_error_capture(spark):
             (1, "image", b"", None),  # empty payload -> error
             (2, "image", b"\x01\x02\x03", None),  # garbage: real decoder rejects it
             (3, "image", good_png, None),  # valid PNG -> real decode
-            (4, "video", b"\x01\x02\x03", None),  # video: fake path still works
+            (4, "video", b"\x01\x02\x03", None),  # garbage video: real decoder rejects
             (5, "audio", b"\x01\x02\x03", None),  # garbage audio: real decoder rejects
+            (6, "sensor", b"\x01\x02\x03", None),  # unknown kind: byte-stat fallback
         ],
         "media_id bigint, kind string, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
     )
@@ -49,15 +53,22 @@ def test_media_features_error_capture(spark):
     assert rows[1]["features"] is None and rows[1]["feature_error"] != ""
     assert rows[2]["features"] is None and "unsupported image codec" in rows[2]["feature_error"]
     assert rows[3]["features"] is not None and rows[3]["feature_error"] == ""
-    assert rows[4]["features"] is not None and rows[4]["feature_error"] == ""
+    assert rows[4]["features"] is None and "not an AVI payload" in rows[4]["feature_error"]
     assert rows[5]["features"] is None and "not a WAV payload" in rows[5]["feature_error"]
+    assert rows[6]["features"] is not None and rows[6]["feature_error"] == ""
 
 
-def test_media_strict_mode_marks_stub(spark):
-    media = synthetic_media_df(spark, 3)
+def test_media_strict_mode_fails_fast_on_undecodable(spark):
+    """strict=True is the fail-fast analogue: fully decodable media runs
+    clean, an undecodable payload aborts the task instead of landing in
+    the error column."""
+    clean = synthetic_media_df(spark, 12)  # first junk video row is id 14
+    out = extract_media_features(clean, strict=True).collect()
+    assert len(out) == 12 and all(r["feature_error"] == "" for r in out)
+    junk = synthetic_media_df(spark, 24).filter(F.col("media_id") == 14)
     with pytest.raises(Exception) as excinfo:
-        extract_media_features(media, strict=True).collect()
-    assert "NotImplementedError" in str(excinfo.value) or "stubbed" in str(excinfo.value)
+        extract_media_features(junk, strict=True).collect()
+    assert "not an AVI payload" in str(excinfo.value)
 
 
 def test_frame_sampling_fanout(spark):
@@ -65,10 +76,21 @@ def test_frame_sampling_fanout(spark):
     n_videos = media.count()
     frames = sample_video_frames(media, n_frames=4)
     assert frames.count() == n_videos * 4
-    one = frames.filter(F.col("frame_index") == 3).collect()[0]
-    assert 0 < one["frame_offset"] < len(one["payload"])
-    resized = resize_image_stub(media)
-    assert resized.select("resized_meta.width").collect()[0][0] == 224
+    # sampled offsets point at REAL frame chunk bodies ('00db' headers)
+    for row in frames.collect():
+        payload = bytes(row["payload"])
+        off = row["frame_offset"]
+        assert payload[off - 8 : off - 4] == b"00db"
+
+    from dss_plugin_google_cloud_vision_spark.functions.imaging import decode_image
+
+    images = synthetic_media_df(spark, 9).filter(F.col("kind") == "image")
+    resized = {r["media_id"]: r for r in resize_image(images, target_width=32, target_height=20).collect()}
+    assert resized
+    for row in resized.values():
+        assert row["resize_error"] == ""
+        pixels, codec = decode_image(bytes(row["resized"]))
+        assert codec == "png" and pixels.shape == (20, 32, 3)
 
 
 def test_streaming_exactly_once(spark, tmp_path):
@@ -221,16 +243,47 @@ def test_media_features_real_decode_analytic(spark):
         assert got.shape == expected.shape and np.allclose(got, expected, atol=0, rtol=0)
 
 
-def test_media_strict_mode_images_audio_decode_video_raises(spark):
-    """strict=True: image AND audio tables run fully on the real decoders;
-    video still hits the marked NotImplementedError seam."""
-    decodable = synthetic_media_df(spark, 12).filter(F.col("kind") != "video")
-    out = extract_media_features(decodable, strict=True).collect()
-    assert len(out) > 0 and all(r["feature_error"] == "" for r in out)
-    video = synthetic_media_df(spark, 12).filter(F.col("kind") == "video")
-    with pytest.raises(Exception) as excinfo:
-        extract_media_features(video, strict=True).collect()
-    assert "NotImplementedError" in str(excinfo.value) or "stubbed" in str(excinfo.value)
+def test_avi_codec_roundtrip_and_analytic_video_features(spark):
+    """AVI encode->decode is the identity (incl. DIB bottom-up/BGR/row
+    padding); video features must come from DECODED FRAME PIXELS
+    (analytic expectation from the synthetic frame function); the frame
+    sampler picks evenly spaced SOURCE frame ordinals."""
+    import numpy as np
+
+    from dss_plugin_google_cloud_vision_spark.functions.video import (
+        VideoDecodeError,
+        avi_frame_offsets,
+        decode_avi,
+        encode_avi,
+    )
+    from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
+        FEATURE_BINS,
+        synthetic_video_frames,
+        synthetic_media_df,
+    )
+
+    frames = synthetic_video_frames(5)
+    payload = encode_avi(frames, fps=8)
+    back, fps = decode_avi(payload)
+    assert fps == 8 and back.shape == frames.shape and (back == frames).all()
+    offsets, w, h, f = avi_frame_offsets(payload)
+    assert len(offsets) == frames.shape[0] and (w, h) == (frames.shape[2], frames.shape[1])
+    import pytest as _pytest
+
+    with _pytest.raises(VideoDecodeError):
+        decode_avi(b"\x01\x02\x03")
+    with _pytest.raises(VideoDecodeError):
+        decode_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+    videos = synthetic_media_df(spark, 14).filter(F.col("kind") == "video")
+    rows = {r["media_id"]: r for r in extract_media_features(videos).collect()}
+    assert rows
+    for media_id, row in rows.items():
+        px = synthetic_video_frames(media_id)
+        hist, _ = np.histogram(px.reshape(-1), bins=FEATURE_BINS, range=(0, 256))
+        expected = hist / px.size
+        assert row["feature_error"] == ""
+        assert np.allclose(np.array(row["features"]), expected, atol=0, rtol=0)
 
 
 def test_wav_codec_roundtrip_and_analytic_features(spark):
