@@ -877,6 +877,54 @@ def q_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_paragraph_corpus(docs: DataFrame) -> DataFrame:
+    """Rendered paragraph corpus (mirror of oracles.paragraph_corpus_sql):
+    each document's tokens split into two halves joined by a newline, a
+    constant boilerplate paragraph appended for doc_id % 3 == 0 and
+    prepended for doc_id % 7 == 0 — cross-document duplicate paragraphs
+    by construction."""
+    from dss_plugin_google_cloud_vision_spark.oracles import PARA_BOILER
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    n1 = F.floor(n / 2).cast("int")
+    body = F.concat(
+        F.array_join(F.slice(toks, 1, n1), " "),
+        F.lit("\n"),
+        F.array_join(F.slice(toks, n1 + 1, n - n1), " "),
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(PARA_BOILER + "\n")).otherwise(F.lit("")),
+            body,
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\n" + PARA_BOILER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-wide paragraph dedup: first occurrence
+    of every distinct paragraph wins (skew-robust agg+composite-key join,
+    not a hot window — see operators.dedup.paragraph_dedup), documents
+    reassembled from surviving paragraphs in order."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import paragraph_dedup
+
+    corpus = build_paragraph_corpus(_table(spark, sf_dir, "documents"))
+    return paragraph_dedup(corpus)
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: fraction of each document's distinct
+    3-gram shingles present in the 'eval set' (every 100th document),
+    via a broadcast shingle join — the pre-training contamination test."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import ngram_contamination
+
+    docs = _table(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") % 100 == 0)
+    return ngram_contamination(docs, benchmark)
+
+
 def q_split_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 empty-result guard at page level: a deterministic subset of PDF
     payloads (doc_id % 23 == 0) carries the ``%PDF-`` magic but NO page
@@ -1133,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_slots": q_politeness_slots,
         "partitioned_pruned_scan": q_partitioned_pruned_scan,
         "split_empty_guard": q_split_empty_guard,
+        "paragraph_dedup": q_paragraph_dedup,
+        "ngram_contamination": q_ngram_contamination,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1348,6 +1398,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT 1 AS page_number UNION ALL SELECT 2) p "
             "WHERE doc_id % 23 <> 0"
         ),
+        "paragraph_dedup": _oracles.paragraph_dedup_sql(),
+        "ngram_contamination": _oracles.ngram_contamination_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

@@ -544,3 +544,105 @@ def dedup_by_clusters(
     clusters = near_dup_clusters(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup across the whole corpus (the C4 /
+    RefinedWeb "remove duplicated lines/paragraphs" pass): split every
+    document on ``sep``, keep the FIRST occurrence of each distinct
+    non-empty paragraph corpus-wide (first = lowest (id, position)), and
+    reassemble each document from its surviving paragraphs in original
+    order. Documents whose every paragraph loses disappear from the
+    output (anti-join against the input to list them).
+
+    Scale shape — built for duplicate-HEAVY corpora:
+    - winner election is a ``groupBy(md5(paragraph)).agg(min(struct(id,
+      pos)))`` — an aggregation, NOT a window: partial min combines
+      map-side, so a boilerplate paragraph repeated 10^9 times ships one
+      candidate row per map partition instead of sorting 10^9 rows in a
+      single hot window partition;
+    - survivors re-join on the COMPOSITE key (hash, id, pos), which is
+      unique per row — perfectly distributed even when one hash dominates;
+    - reassembly is one groupBy on the document id.
+    Paragraph text crosses the wire twice (join + reassembly) — the
+    minimum for exact cross-corpus paragraph dedup with reassembly.
+
+    Output: id, deduped_text, n_kept, n_paragraphs (non-empty input
+    count). Mirrored 1:1 by ``oracles.paragraph_dedup_sql``.
+    """
+    paras = (
+        df.select(
+            F.col(id_col),
+            F.size(F.filter(F.split(F.col(text_col), sep), lambda p: p != "")).alias(
+                "n_paragraphs"
+            ),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.col("para") != "")
+        .withColumn("phash", F.md5(F.col("para")))
+    )
+    winners = (
+        paras.groupBy("phash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select("phash", F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
+    )
+    kept = paras.join(winners, ["phash", id_col, "pos"])
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda s: s["para"]
+            ),
+            sep,
+        ).alias("deduped_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.first("n_paragraphs").cast("bigint").alias("n_paragraphs"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination check: for every corpus document, the
+    fraction of its DISTINCT k-gram shingles that appear anywhere in the
+    ``benchmark`` set (the standard n-gram-overlap contamination test run
+    before training on scraped data).
+
+    Scale shape: the benchmark shingle set is deduplicated and BROADCAST
+    (eval sets are tiny next to a 10^12-doc corpus), so the corpus side
+    is one narrow pass — shingle explode, distinct per doc, broadcast
+    hash-join, one groupBy on the document id. No shuffle of the
+    benchmark side, no corpus self-join.
+
+    Output: id, n_shingles, n_contaminated, contamination_milli
+    (floor(n_hit * 1000 / n_shingles)). Mirrored by
+    ``oracles.ngram_contamination_sql``.
+    """
+    def doc_shingles(df: DataFrame) -> DataFrame:
+        toks = df.withColumn("_toks", tokens_column(text_col))
+        return toks.select(
+            F.col(id_col),
+            F.explode(shingles_column(text_col, k, tokens=F.col("_toks"))).alias("shingle"),
+        ).dropDuplicates([id_col, "shingle"])
+
+    bench_shingles = (
+        doc_shingles(benchmark).select(F.md5("shingle").alias("bh")).distinct()
+    )
+    corp = doc_shingles(corpus).select(F.col(id_col), F.md5("shingle").alias("bh"))
+    hit = F.when(F.col("bh_hit").isNotNull(), 1).otherwise(0)
+    joined = corp.join(
+        F.broadcast(bench_shingles.withColumn("bh_hit", F.lit(1))), "bh", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum(hit).cast("bigint").alias("n_contaminated"),
+        F.floor(F.sum(hit) * 1000 / F.count("*")).cast("bigint").alias("contamination_milli"),
+    )

@@ -513,3 +513,69 @@ def langid_sql() -> str:
         f"SELECT doc_id, {case} AS lang_detected FROM ("
         f" SELECT doc_id, {', '.join(hit_cols)} FROM documents)"
     )
+
+
+PARA_BOILER = "Subscribe to our newsletter for updates and follow us on social media."
+
+
+def paragraph_corpus_sql() -> str:
+    """The rendered paragraph corpus: each document split into two token
+    halves joined by a newline, with a constant boilerplate paragraph
+    appended for doc_id % 3 = 0 and prepended for doc_id % 7 = 0 —
+    mirrored exactly by ``build_paragraph_corpus`` in __spark_entry__."""
+    return (
+        "pcorpus AS ("
+        " SELECT doc_id,"
+        "  (CASE WHEN doc_id % 7 = 0 THEN '" + PARA_BOILER + "' || chr(10) ELSE '' END)"
+        "  || array_to_string(toks[1:n1], ' ') || chr(10) || array_to_string(toks[n1+1:n], ' ')"
+        "  || (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '" + PARA_BOILER + "' ELSE '' END)"
+        "  AS text"
+        " FROM (SELECT doc_id, string_split(text, ' ') AS toks,"
+        "  len(string_split(text, ' ')) AS n,"
+        "  cast(floor(len(string_split(text, ' ')) / 2) AS int) AS n1 FROM documents))"
+    )
+
+
+def paragraph_dedup_sql() -> str:
+    """Mirror of operators.dedup.paragraph_dedup over the rendered
+    paragraph corpus: split on newline, keep the first occurrence of each
+    distinct non-empty paragraph corpus-wide (lowest (doc_id, pos)),
+    reassemble in original order."""
+    return (
+        f"WITH {paragraph_corpus_sql()}, "
+        "plist AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM pcorpus), "
+        "paras AS ("
+        " SELECT doc_id, u.pos AS pos, u.para AS para, n_paragraphs FROM ("
+        "  SELECT doc_id,"
+        "   unnest(list_transform(generate_series(1, len(ps)), i -> struct_pack(pos := i, para := ps[i]))) AS u,"
+        "   len(list_filter(ps, p -> p <> '')) AS n_paragraphs"
+        "  FROM plist)"
+        " WHERE u.para <> ''), "
+        "kept AS ("
+        " SELECT doc_id, pos, para, n_paragraphs FROM ("
+        "  SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM paras)"
+        " WHERE rn = 1) "
+        "SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS deduped_text, "
+        "cast(count(*) AS bigint) AS n_kept, "
+        "cast(min(n_paragraphs) AS bigint) AS n_paragraphs "
+        "FROM kept GROUP BY doc_id"
+    )
+
+
+def ngram_contamination_sql(bench_mod: int = 100, k: int = DEFAULT_SHINGLE_K) -> str:
+    """Mirror of operators.dedup.ngram_contamination with the benchmark =
+    every ``bench_mod``-th document: per-document fraction of distinct
+    k-gram shingles that appear anywhere in the benchmark set."""
+    return (
+        f"WITH {shingle_cte('documents', k, 'csh')}, "
+        f"bdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % {bench_mod} = 0), "
+        f"{shingle_cte('bdocs', k, 'bsh')}, "
+        "bench AS (SELECT DISTINCT md5(shingle) AS bh FROM bsh) "
+        "SELECT c.doc_id, cast(count(*) AS bigint) AS n_shingles, "
+        "cast(sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_contaminated, "
+        "cast(floor(sum(CASE WHEN b.bh IS NOT NULL THEN 1 ELSE 0 END) * 1000.0 / count(*)) AS bigint)"
+        " AS contamination_milli "
+        "FROM (SELECT doc_id, md5(shingle) AS ch FROM csh) c "
+        "LEFT JOIN bench b ON c.ch = b.bh "
+        "GROUP BY c.doc_id"
+    )

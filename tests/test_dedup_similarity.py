@@ -299,3 +299,61 @@ def test_trained_ivf_improves_recall_on_clustered_data(spark):
     c1 = train_centroids(df, n_centroids=8, n_iterations=2)
     c2 = train_centroids(df.repartition(11), n_centroids=8, n_iterations=2)
     assert c1 == c2
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to the newsletter"
+    rows = [
+        (1, f"alpha beta gamma\n{boiler}\ndelta epsilon"),
+        (2, f"{boiler}\nzeta eta theta"),
+        (3, boiler),  # every paragraph loses -> doc disappears
+        (4, "iota kappa\n\nlambda mu"),  # empty paragraph ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["deduped_text"] == f"alpha beta gamma\n{boiler}\ndelta epsilon"
+    assert out[1]["n_kept"] == 3 and out[1]["n_paragraphs"] == 3
+    assert out[2]["deduped_text"] == "zeta eta theta"
+    assert out[2]["n_kept"] == 1 and out[2]["n_paragraphs"] == 2
+    assert 3 not in out
+    assert out[4]["deduped_text"] == "iota kappa\nlambda mu"
+    assert out[4]["n_paragraphs"] == 2
+
+    # partitioning invariance: winner election must not depend on layout
+    again = {r["doc_id"]: r["deduped_text"] for r in paragraph_dedup(df.repartition(7)).collect()}
+    assert again == {k: v["deduped_text"] for k, v in out.items()}
+
+
+def test_ngram_contamination_fractions(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # = benchmark doc
+            (2, "completely disjoint text about stone gardens and markets here"),
+            (3, "the quick brown fox sleeps near unrelated windy meadows"),  # partial
+        ],
+        "doc_id int, text string",
+    )
+    benchmark = corpus.filter(F.col("doc_id") == 1)
+    out = {r["doc_id"]: r for r in ngram_contamination(corpus, benchmark).collect()}
+    assert out[1]["contamination_milli"] == 1000
+    assert out[2]["n_contaminated"] == 0 and out[2]["contamination_milli"] == 0
+    # doc 3 shares exactly the shingles 'the quick brown' / 'quick brown fox'
+    assert out[3]["n_contaminated"] == 2
+    assert 0 < out[3]["contamination_milli"] < 1000
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    """The benchmark shingle side must broadcast (no shuffle of the corpus
+    onto a join key) — the scale contract of the decontamination pass."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, f"token{i} filler words all over the place number {i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    plan = ngram_contamination(corpus, corpus.limit(3))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
