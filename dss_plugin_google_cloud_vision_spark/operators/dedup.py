@@ -618,9 +618,12 @@ def ngram_contamination(
 
     Scale shape: the benchmark shingle set is deduplicated and BROADCAST
     (eval sets are tiny next to a 10^12-doc corpus), so the corpus side
-    is one narrow pass — shingle explode, distinct per doc, broadcast
-    hash-join, one groupBy on the document id. No shuffle of the
-    benchmark side, no corpus self-join.
+    is one narrow pass — per-document shingle dedup happens ROW-LOCALLY
+    (``array_distinct`` before the explode; a ``dropDuplicates`` would
+    shuffle every corpus shingle for a dedup whose groups never span
+    rows), then broadcast hash-join and a groupBy on the document id
+    whose partial aggregation collapses map-side to ~one row per doc.
+    No shuffle of shingle text anywhere.
 
     Output: id, n_shingles, n_contaminated, contamination_milli
     (floor(n_hit * 1000 / n_shingles)). Mirrored by
@@ -630,8 +633,10 @@ def ngram_contamination(
         toks = df.withColumn("_toks", tokens_column(text_col))
         return toks.select(
             F.col(id_col),
-            F.explode(shingles_column(text_col, k, tokens=F.col("_toks"))).alias("shingle"),
-        ).dropDuplicates([id_col, "shingle"])
+            F.explode(
+                F.array_distinct(shingles_column(text_col, k, tokens=F.col("_toks")))
+            ).alias("shingle"),
+        )
 
     bench_shingles = (
         doc_shingles(benchmark).select(F.md5("shingle").alias("bh")).distinct()

@@ -357,3 +357,8 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     )
     plan = ngram_contamination(corpus, corpus.limit(3))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+    # per-doc shingle dedup is row-local (array_distinct): corpus shingle
+    # text must never hash-exchange
+    import re
+
+    assert not re.search(r"hashpartitioning\([^)]*shingle", plan), plan
