@@ -925,6 +925,37 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, benchmark)
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl ingest near-dedup (mirror of
+    oracles.incremental_near_dup_sql): the corpus is the even documents;
+    the increment is the odd documents plus planted near-dups of corpus
+    members (' zzz tail token' appended, doc_id+300000) and exact dups of
+    increment members (doc_id+400000). The filter must drop both planted
+    families and keep the rest."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        incremental_near_dup_filter,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    increment = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 6).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz tail token")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 15 == 1)).select(
+                (F.col("doc_id") + 400000).alias("doc_id"), F.col("text")
+            )
+        )
+    )
+    return incremental_near_dup_filter(increment, corpus)
+
+
 def q_split_empty_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5 empty-result guard at page level: a deterministic subset of PDF
     payloads (doc_id % 23 == 0) carries the ``%PDF-`` magic but NO page
@@ -1183,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_empty_guard": q_split_empty_guard,
         "paragraph_dedup": q_paragraph_dedup,
         "ngram_contamination": q_ngram_contamination,
+        "incremental_near_dup": q_incremental_near_dup,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1400,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "paragraph_dedup": _oracles.paragraph_dedup_sql(),
         "ngram_contamination": _oracles.ngram_contamination_sql(),
+        "incremental_near_dup": _oracles.incremental_near_dup_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

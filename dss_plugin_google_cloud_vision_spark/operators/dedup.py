@@ -651,3 +651,89 @@ def ngram_contamination(
         F.sum(hit).cast("bigint").alias("n_contaminated"),
         F.floor(F.sum(hit) * 1000 / F.count("*")).cast("bigint").alias("contamination_milli"),
     )
+
+
+def incremental_near_dup_filter(
+    increment: DataFrame,
+    corpus: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    threshold_milli: int = 800,
+    max_bucket_size: int | None = DEFAULT_MAX_BAND_BUCKET,
+) -> DataFrame:
+    """Continuous-crawl ingest near-dedup: keep only the increment rows
+    that are NOT verified near-dups of the existing corpus, nor of a
+    lower-id row of the same increment (keep-first within the increment —
+    dropped rows cannot rescue later ones; the rule is 'doc_b of any
+    verified pair drops', mirrored by the oracle).
+
+    The real incremental pattern: the corpus band table (doc, band,
+    band_key) is PERSISTED at ingest and passed as ``corpus_bands`` — an
+    increment must never re-shingle the 100 TB corpus. It is recomputed
+    from ``corpus`` text only when not supplied (small runs / tests).
+
+    Scale shape:
+    - candidates = increment bands equi-joined to corpus bands on (band,
+      band_key), hot-bucket guard applied to the corpus side (the
+      duplicate-heavy one);
+    - Jaccard verification touches only the MATCHED corpus docs: their
+      ids (bounded by |increment| × bands) broadcast-semi-join the corpus
+      before any shingle set is built, so corpus text is read for matched
+      rows only;
+    - within-increment pairs reuse ``near_dup_pairs`` on the (small)
+      increment alone.
+
+    Output: the surviving increment rows (all input columns).
+    """
+    inc_bands = lsh_band_keys(
+        minhash_signature(increment, id_col, text_col, n_hashes, shingle_k),
+        id_col, n_hashes, bands,
+    )
+    if corpus_bands is None:
+        corpus_bands = lsh_band_keys(
+            minhash_signature(corpus, id_col, text_col, n_hashes, shingle_k),
+            id_col, n_hashes, bands,
+        )
+    corpus_bands = _drop_oversized_buckets(corpus_bands, ["band", "band_key"], max_bucket_size)
+    cross_cand = (
+        inc_bands.select(F.col(id_col).alias("doc_i"), "band", "band_key")
+        .join(corpus_bands.select(F.col(id_col).alias("doc_c"), "band", "band_key"),
+              ["band", "band_key"])
+        .select("doc_i", "doc_c")
+        .distinct()
+    )
+
+    def shingle_sets(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        bound = df.select(F.col(id_col), F.col(text_col), tokens_column(text_col).alias("_toks"))
+        return bound.select(
+            F.col(id_col).alias(out_id),
+            F.array_distinct(
+                shingles_column(text_col, shingle_k, tokens=F.col("_toks"))
+            ).alias(out_sh),
+        )
+
+    matched_corpus_ids = cross_cand.select(F.col("doc_c").alias(id_col)).distinct()
+    pruned_corpus = corpus.join(F.broadcast(matched_corpus_ids), id_col, "left_semi")
+    verified = (
+        cross_cand.join(shingle_sets(increment, "doc_i", "sh_i"), "doc_i")
+        .join(shingle_sets(pruned_corpus, "doc_c", "sh_c"), "doc_c")
+        .select(
+            "doc_i",
+            F.size(F.array_intersect("sh_i", "sh_c")).alias("inter_size"),
+            F.size(F.array_union("sh_i", "sh_c")).alias("union_size"),
+        )
+        .filter(F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size"))
+    )
+    cross_dup = verified.select(F.col("doc_i").alias(id_col)).distinct()
+    self_dup = (
+        near_dup_pairs(increment, id_col, text_col, threshold_milli=threshold_milli)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        increment.join(cross_dup, id_col, "left_anti").join(self_dup, id_col, "left_anti")
+    )

@@ -57,20 +57,25 @@ def exact_dedup_sql() -> str:
     )
 
 
-def _sig_cte(n_hashes: int = DEFAULT_N_HASHES) -> str:
+def _sig_cte(n_hashes: int = DEFAULT_N_HASHES, src: str = "sh", name: str = "sig") -> str:
     mins = ", ".join(
         f"min(md5('{s}#' || shingle)) AS h{s}" for s in range(n_hashes)
     )
-    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    return f"{name} AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id)"
 
 
-def _bands_cte(n_hashes: int = DEFAULT_N_HASHES, bands: int = DEFAULT_BANDS) -> str:
+def _bands_cte(
+    n_hashes: int = DEFAULT_N_HASHES,
+    bands: int = DEFAULT_BANDS,
+    src: str = "sig",
+    name: str = "bands",
+) -> str:
     rows_per_band = n_hashes // bands
     selects = []
     for b in range(bands):
         cols = " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
-        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM sig")
-    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM {src}")
+    return f"{name} AS (" + " UNION ALL ".join(selects) + ")"
 
 
 def minhash_candidates_sql() -> str:
@@ -578,4 +583,76 @@ def ngram_contamination_sql(bench_mod: int = 100, k: int = DEFAULT_SHINGLE_K) ->
         "FROM (SELECT doc_id, md5(shingle) AS ch FROM csh) c "
         "LEFT JOIN bench b ON c.ch = b.bh "
         "GROUP BY c.doc_id"
+    )
+
+
+INC_CORPUS_CTE = (
+    "basecorp AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)"
+)
+
+INC_INCREMENT_CTE = (
+    "inc AS ("
+    " SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
+    " UNION ALL"
+    " SELECT doc_id + 300000 AS doc_id, text || ' zzz tail token' AS text"
+    "  FROM documents WHERE doc_id % 10 = 6"  # near-dups of corpus members
+    " UNION ALL"
+    " SELECT doc_id + 400000 AS doc_id, text FROM documents"
+    "  WHERE doc_id % 2 = 1 AND doc_id % 15 = 1"  # dups within the increment
+    ")"
+)
+
+
+def incremental_near_dup_sql(threshold_milli: int = 800) -> str:
+    """Mirror of operators.dedup.incremental_near_dup_filter over the
+    rendered corpus/increment split (``build_incremental_corpus`` in
+    __spark_entry__): keep increment rows that are neither verified
+    near-dups of a corpus row (via cross band collisions) nor doc_b of a
+    verified within-increment pair."""
+    inc_pairs = (
+        "icand AS ("
+        " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        " FROM bands_i a JOIN bands_i b"
+        " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+        "isizes AS (SELECT doc_id, count(*) AS n FROM sh_i GROUP BY doc_id), "
+        "iinter AS ("
+        " SELECT c.doc_a, c.doc_b, count(*) AS inter_size"
+        " FROM icand c JOIN sh_i a ON a.doc_id = c.doc_a"
+        " JOIN sh_i b ON b.doc_id = c.doc_b AND b.shingle = a.shingle"
+        " GROUP BY c.doc_a, c.doc_b), "
+        "self_dup AS ("
+        " SELECT DISTINCT i.doc_b AS doc_id"
+        " FROM iinter i JOIN isizes sa ON sa.doc_id = i.doc_a"
+        " JOIN isizes sb ON sb.doc_id = i.doc_b"
+        f" WHERE i.inter_size * 1000 >= {threshold_milli} * (sa.n + sb.n - i.inter_size))"
+    )
+    cross = (
+        "xcand AS ("
+        " SELECT DISTINCT i.doc_id AS doc_i, c.doc_id AS doc_c"
+        " FROM bands_i i JOIN bands_c c"
+        " ON i.band = c.band AND i.band_key = c.band_key), "
+        "csizes AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id), "
+        "xinter AS ("
+        " SELECT x.doc_i, x.doc_c, count(*) AS inter_size"
+        " FROM xcand x JOIN sh_i a ON a.doc_id = x.doc_i"
+        " JOIN sh_c b ON b.doc_id = x.doc_c AND b.shingle = a.shingle"
+        " GROUP BY x.doc_i, x.doc_c), "
+        "cross_dup AS ("
+        " SELECT DISTINCT i.doc_i AS doc_id"
+        " FROM xinter i JOIN isizes sa ON sa.doc_id = i.doc_i"
+        " JOIN csizes sb ON sb.doc_id = i.doc_c"
+        f" WHERE i.inter_size * 1000 >= {threshold_milli} * (sa.n + sb.n - i.inter_size))"
+    )
+    return (
+        f"WITH {INC_CORPUS_CTE}, {INC_INCREMENT_CTE}, "
+        f"{shingle_cte('basecorp', name='sh_c')}, "
+        f"{_sig_cte(src='sh_c', name='sig_c')}, "
+        f"{_bands_cte(src='sig_c', name='bands_c')}, "
+        f"{shingle_cte('inc', name='sh_i')}, "
+        f"{_sig_cte(src='sh_i', name='sig_i')}, "
+        f"{_bands_cte(src='sig_i', name='bands_i')}, "
+        f"{inc_pairs}, {cross} "
+        "SELECT doc_id, text FROM inc "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup) "
+        "AND doc_id NOT IN (SELECT doc_id FROM self_dup)"
     )

@@ -362,3 +362,43 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     import re
 
     assert not re.search(r"hashpartitioning\([^)]*shingle", plan), plan
+
+
+def test_incremental_near_dup_filter(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        incremental_near_dup_filter,
+        lsh_band_keys,
+        minhash_signature,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (20, "a completely different document about gardens markets and stone windows"),
+        ],
+        "doc_id int, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            # near-dup of corpus doc 10 -> dropped
+            (101, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            # fresh -> kept
+            (102, "music paper animals and rivers flow through the small market town"),
+            # exact dup of 102 within the increment -> dropped (keep-first)
+            (103, "music paper animals and rivers flow through the small market town"),
+            # fresh unique -> kept
+            (104, "totally unrelated text with unique vocabulary zebra quartz granite"),
+        ],
+        "doc_id int, text string",
+    )
+    kept = {r["doc_id"] for r in incremental_near_dup_filter(increment, corpus).collect()}
+    assert kept == {102, 104}
+
+    # the real incremental pattern: corpus bands persisted at ingest and
+    # passed in — identical result, corpus text only read for matched docs
+    bands = lsh_band_keys(minhash_signature(corpus))
+    kept2 = {
+        r["doc_id"]
+        for r in incremental_near_dup_filter(increment, corpus, corpus_bands=bands).collect()
+    }
+    assert kept2 == kept
