@@ -285,3 +285,49 @@ def test_streaming_sessionize_event_time_timeout_non_utc(spark, tmp_path):
     assert (1, 2, us(0), us(0, 30)) in emitted
     assert (2, 1, us(10), us(10)) in emitted
     assert len(emitted) == 3
+
+
+def test_streaming_exact_dedup_across_batches_and_restarts(spark, tmp_path):
+    """Built-in stateful dropDuplicates over the text fingerprint: the
+    first arrival of each distinct text is emitted exactly once — within
+    a micro-batch, across micro-batches, and across job RESTARTS (state
+    lives in the checkpoint); output equals batch keep-first when arrival
+    order is id order."""
+    from dss_plugin_google_cloud_vision_spark.streaming.dedup import stream_exact_dedup
+
+    schema = "doc_id long, text string"
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).format("parquet").option("path", input_dir).load()
+        deduped = stream_exact_dedup(stream)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            deduped.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write([(1, "alpha one"), (2, "beta two"), (3, "alpha one")])  # in-batch dup
+    run()
+    write([(4, "beta two"), (5, "gamma three")])  # cross-RESTART dup + fresh
+    run()
+    rows = spark.read.parquet(out_dir).collect()
+    kept = {r["doc_id"] for r in rows}
+    assert kept == {1, 2, 5}
+    # the emitted _fp column matches the batch dedup fingerprint
+    fps = {r["doc_id"]: r["_fp"] for r in rows}
+    import hashlib
+
+    assert fps[5] == hashlib.md5(b"gamma three").hexdigest()
