@@ -108,7 +108,11 @@ class _BlockCollector(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
         self.blocks: List[_Block] = []
-        self._segments: List[Tuple[str, bool]] = []  # (raw text, in_anchor)
+        # parallel segment buffers (no per-data-event tuple allocation);
+        # _anchor_segments collects anchor text only, so the no-anchor
+        # common case skips the anchor collapse entirely
+        self._segments: List[str] = []
+        self._anchor_segments: List[str] = []
         self._skip_depth = 0
         self._boiler_depth = 0
         self._article_depth = 0
@@ -116,14 +120,16 @@ class _BlockCollector(HTMLParser):
         self._heading_depth = 0
 
     def _flush(self):
-        if not self._segments:
+        segments = self._segments
+        if not segments:
             return
-        raw = "".join(segment for segment, _ in self._segments)
+        raw = segments[0] if len(segments) == 1 else "".join(segments)
         text = _collapse(raw)
         if text:
-            anchor_chars = sum(
-                len(_collapse(segment)) for segment, in_anchor in self._segments if in_anchor
-            )
+            if self._anchor_segments:
+                anchor_chars = sum(len(_collapse(s)) for s in self._anchor_segments)
+            else:
+                anchor_chars = 0
             self.blocks.append(
                 _Block(
                     text=text,
@@ -134,6 +140,7 @@ class _BlockCollector(HTMLParser):
                 )
             )
         self._segments = []
+        self._anchor_segments = []
 
     def handle_starttag(self, tag, attrs):
         flags = _TAG_FLAGS.get(tag)
@@ -175,7 +182,9 @@ class _BlockCollector(HTMLParser):
 
     def handle_data(self, data):
         if self._skip_depth == 0 and data:
-            self._segments.append((data, self._anchor_depth > 0))
+            self._segments.append(data)
+            if self._anchor_depth > 0:
+                self._anchor_segments.append(data)
 
 
 class HtmlExtraction(NamedTuple):

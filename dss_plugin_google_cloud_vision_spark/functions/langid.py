@@ -48,6 +48,13 @@ SCRIPT_RANGES: Tuple[Tuple[str, int, int], ...] = (
 
 _TOKEN_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
+# one compiled character class per script range (C-level counting on the
+# non-ASCII path; ranges are disjoint so per-range counts equal the
+# first-match-wins per-char scan)
+_SCRIPT_RES: Tuple[re.Pattern, ...] = tuple(
+    re.compile(f"[{chr(lo)}-{chr(hi)}]") for _code, lo, hi in SCRIPT_RANGES
+)
+
 # precomputed for the hot path (semantically identical to per-call sets)
 _STOPWORD_SETS: Tuple[Tuple[str, frozenset], ...] = tuple(
     (code, frozenset(words)) for code, words in LANG_STOPWORDS.items()
@@ -80,27 +87,21 @@ def guess_language(text: str) -> Tuple[str, float]:
     # (identical result, this is the dominant case for web text)
     is_ascii = text.isascii()
     if not is_ascii:
-        # single pass; ranges are disjoint and all start at >= 0x370, so
-        # accented-Latin chars (< 0x370) are skipped cheaply — result is
-        # identical to the per-range scan
-        counts = [0] * len(SCRIPT_RANGES)
-        n_chars = 0
-        for c in text:
-            if c.isspace():
-                continue
-            n_chars += 1
-            o = ord(c)
-            if o >= 0x0370:
-                for idx, (_code, lo, hi) in enumerate(SCRIPT_RANGES):
-                    if lo <= o <= hi:
-                        counts[idx] += 1
-                        break
+        # C-level passes replacing the per-char Python loop (which was
+        # ~the whole langid cost on non-Latin pages):
+        # - non-space char count via str.split() — argless split strips
+        #   exactly the str.isspace() whitespace set, so the count is
+        #   identical to the `if c.isspace(): continue` loop;
+        # - per-script counts via one compiled character-class findall
+        #   each — the ranges are DISJOINT, so first-match-wins equals
+        #   count-per-range. Script chars are never whitespace.
+        n_chars = sum(len(part) for part in text.split())
         if n_chars == 0:
             return "", 0.0
         for idx, (code, _lo, _hi) in enumerate(SCRIPT_RANGES):
-            fraction = counts[idx] / n_chars
-            if fraction >= 0.30:
-                return code, round(fraction, 4)
+            hits = len(_SCRIPT_RES[idx].findall(text))
+            if hits and hits / n_chars >= 0.30:
+                return code, round(hits / n_chars, 4)
     elif not text.strip():
         return "", 0.0
     if is_ascii:
