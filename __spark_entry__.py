@@ -925,6 +925,54 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, benchmark)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style document quality rules as exact integer
+    columns + combined keep verdict — one row-local JVM projection."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import gopher_quality_table
+
+    return gopher_quality_table(_table(spark, sf_dir, "documents"))
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators.urls): messy crawl URLs rendered
+    deterministically from documents (mixed-case scheme/host, default
+    ports, tracking params in unstable order, fragments) must collapse to
+    the canonical form — one codegen projection, no UDF."""
+    from dss_plugin_google_cloud_vision_spark.operators.urls import canonicalize_urls
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("HTTPS://"))
+        .when(d % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("https://"))
+    )
+    port = (
+        F.when(d % 3 == 0, F.lit(":443")).when(d % 3 == 1, F.lit(":80")).otherwise(F.lit(""))
+    )
+    query = F.when(d % 2 == 0, F.lit("?utm_source=feed&b=2&a=1&gclid=x")).otherwise(
+        F.lit("?z=9&a=1&utm_campaign=news")
+    )
+    frag = F.when(d % 5 == 0, F.lit("#section-2")).otherwise(F.lit(""))
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            scheme,
+            F.lit("WWW.Example"),
+            (d % 7).cast("string"),
+            F.lit(".COM"),
+            port,
+            F.lit("/Docs/"),
+            F.col("lang"),
+            F.lit("/"),
+            d.cast("string"),
+            query,
+            frag,
+        ).alias("url"),
+    )
+    return canonicalize_urls(messy).select("doc_id", "url", "canonical_url")
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl ingest near-dedup (mirror of
     oracles.incremental_near_dup_sql): the corpus is the even documents;
@@ -1215,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "ngram_contamination": q_ngram_contamination,
         "incremental_near_dup": q_incremental_near_dup,
+        "url_canonicalize": q_url_canonicalize,
+        "gopher_quality": q_gopher_quality,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1433,6 +1483,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": _oracles.paragraph_dedup_sql(),
         "ngram_contamination": _oracles.ngram_contamination_sql(),
         "incremental_near_dup": _oracles.incremental_near_dup_sql(),
+        "url_canonicalize": _oracles.url_canonicalize_sql(),
+        "gopher_quality": _oracles.gopher_quality_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

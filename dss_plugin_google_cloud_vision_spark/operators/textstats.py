@@ -239,3 +239,62 @@ def repetition_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .cast("bigint")
         .alias("rep_milli"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 3000,
+    max_mean_word_len_milli: int = 10_000,
+    min_alpha_word_milli: int = 800,
+    min_stopword_distinct: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (the rule family of the Gopher
+    /MassiveText filtering pipeline, Rae et al. 2021, applied by most
+    open-web training corpora since): word-count bounds, mean-word-length
+    bounds, fraction of words containing an alphabetic character, and
+    presence of common English stopwords — each emitted as an exact
+    integer column plus the combined ``keep`` verdict, all row-local JVM
+    expressions (one narrow projection at any scale).
+
+    Output: id, n_words, mean_word_len_milli (floor), alpha_word_milli
+    (floor), stopword_distinct, keep.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    char_sum = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    mean_wl_milli = F.when(n_words > 0, F.floor(char_sum * 1000 / n_words)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    alpha_milli = F.when(n_words > 0, F.floor(alpha_words * 1000 / n_words)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    ).cast("bigint")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl_milli >= min_mean_word_len_milli)
+        & (mean_wl_milli <= max_mean_word_len_milli)
+        & (alpha_milli >= min_alpha_word_milli)
+        & (stop_distinct >= min_stopword_distinct)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl_milli.alias("mean_word_len_milli"),
+        alpha_milli.alias("alpha_word_milli"),
+        stop_distinct.alias("stopword_distinct"),
+        # int not boolean: exact cross-engine value-hash form
+        keep.cast("int").alias("keep"),
+    )

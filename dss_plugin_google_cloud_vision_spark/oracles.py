@@ -656,3 +656,88 @@ def incremental_near_dup_sql(threshold_milli: int = 800) -> str:
         "WHERE doc_id NOT IN (SELECT doc_id FROM cross_dup) "
         "AND doc_id NOT IN (SELECT doc_id FROM self_dup)"
     )
+
+
+MESSY_URL_CTE = (
+    "messy AS ("
+    " SELECT doc_id,"
+    "  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' WHEN doc_id % 3 = 1 THEN 'http://'"
+    "   ELSE 'https://' END)"
+    "  || 'WWW.Example' || cast(doc_id % 7 AS varchar) || '.COM'"
+    "  || (CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END)"
+    "  || '/Docs/' || lang || '/' || cast(doc_id AS varchar)"
+    "  || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1&gclid=x'"
+    "      ELSE '?z=9&a=1&utm_campaign=news' END)"
+    "  || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url"
+    " FROM documents)"
+)
+
+
+def url_canonicalize_sql() -> str:
+    """Mirror of operators.urls.canonical_url_column over the rendered
+    messy URLs (``q_url_canonicalize``): fragment strip, scheme/host
+    lowercase, default-port drop, tracking-param filter, bytewise param
+    sort."""
+    return (
+        f"WITH {MESSY_URL_CTE}, "
+        "p1 AS (SELECT doc_id, url, string_split(url, '#')[1] AS u0 FROM messy), "
+        "p2 AS (SELECT doc_id, url, u0, instr(u0, '://') AS sp FROM p1), "
+        "p3 AS (SELECT doc_id, url, lower(substr(u0, 1, sp - 1)) AS scheme,"
+        " substr(u0, sp + 3) AS rest FROM p2), "
+        "p4 AS (SELECT *, instr(rest, '/') AS slp FROM p3), "
+        "p5 AS (SELECT doc_id, url, scheme,"
+        " lower(CASE WHEN slp > 0 THEN substr(rest, 1, slp - 1) ELSE rest END) AS hostport,"
+        " CASE WHEN slp > 0 THEN substr(rest, slp) ELSE '/' END AS pq FROM p4), "
+        "p6 AS (SELECT doc_id, url,"
+        " scheme,"
+        " CASE WHEN scheme = 'http' AND hostport LIKE '%:80'"
+        "   THEN substr(hostport, 1, length(hostport) - 3)"
+        "  WHEN scheme = 'https' AND hostport LIKE '%:443'"
+        "   THEN substr(hostport, 1, length(hostport) - 4)"
+        "  ELSE hostport END AS hostport,"
+        " pq, instr(pq, '?') AS qp FROM p5), "
+        "p7 AS (SELECT doc_id, url, scheme, hostport,"
+        " CASE WHEN qp > 0 THEN substr(pq, 1, qp - 1) ELSE pq END AS path,"
+        " CASE WHEN qp > 0 THEN substr(pq, qp + 1) ELSE '' END AS query FROM p6), "
+        "p8 AS (SELECT doc_id, url, scheme, hostport, path,"
+        " list_sort(list_filter(string_split(query, '&'),"
+        "  p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'fbclid=')"
+        "   AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'ref='))) AS params"
+        " FROM p7) "
+        "SELECT doc_id, url, scheme || '://' || hostport || path ||"
+        " (CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END)"
+        " AS canonical_url FROM p8"
+    )
+
+
+def gopher_quality_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 3000,
+    max_mean_word_len_milli: int = 10_000,
+    min_alpha_word_milli: int = 800,
+    min_stopword_distinct: int = 2,
+) -> str:
+    """Mirror of operators.textstats.gopher_quality_table."""
+    stopwords = ", ".join(f"'{w}'" for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "m AS (SELECT doc_id,"
+        " cast(len(toks) AS bigint) AS n_words,"
+        " cast(list_sum(list_transform(toks, x -> length(x))) AS bigint) AS char_sum,"
+        " cast(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS bigint) AS alpha_words,"
+        f" cast(len(list_distinct(list_filter(list_transform(toks, x -> lower(x)), x -> x IN ({stopwords})))) AS bigint) AS stopword_distinct"
+        " FROM t) "
+        "SELECT doc_id, n_words,"
+        " cast(CASE WHEN n_words > 0 THEN floor(char_sum * 1000 / n_words) ELSE 0 END AS bigint) AS mean_word_len_milli,"
+        " cast(CASE WHEN n_words > 0 THEN floor(alpha_words * 1000 / n_words) ELSE 0 END AS bigint) AS alpha_word_milli,"
+        " stopword_distinct,"
+        " cast(CASE WHEN"
+        f"  n_words >= {min_words} AND n_words <= {max_words}"
+        f"  AND (CASE WHEN n_words > 0 THEN floor(char_sum * 1000 / n_words) ELSE 0 END) >= {min_mean_word_len_milli}"
+        f"  AND (CASE WHEN n_words > 0 THEN floor(char_sum * 1000 / n_words) ELSE 0 END) <= {max_mean_word_len_milli}"
+        f"  AND (CASE WHEN n_words > 0 THEN floor(alpha_words * 1000 / n_words) ELSE 0 END) >= {min_alpha_word_milli}"
+        f"  AND stopword_distinct >= {min_stopword_distinct}"
+        " THEN 1 ELSE 0 END AS int) AS keep "
+        "FROM m"
+    )

@@ -402,3 +402,40 @@ def test_incremental_near_dup_filter(spark):
         for r in incremental_near_dup_filter(increment, corpus, corpus_bands=bands).collect()
     }
     assert kept2 == kept
+
+
+def test_url_canonicalization_rules(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.urls import canonicalize_urls
+
+    cases = [
+        (1, "HTTPS://WWW.Example.COM:443/Path/Doc?utm_source=x&b=2&a=1#frag",
+            "https://www.example.com/Path/Doc?a=1&b=2"),
+        (2, "http://Host.org:80/", "http://host.org/"),
+        (3, "https://host.org:8443/x", "https://host.org:8443/x"),  # non-default port kept
+        (4, "http://a.b", "http://a.b/"),  # bare host gains the root path
+        (5, "https://h/x?utm_a=1&gclid=2&ref=3&fbclid=4", "https://h/x"),  # all tracking
+        (6, "https://h/x?Z=1&a=2", "https://h/x?Z=1&a=2"),  # bytewise sort: 'Z' < 'a'
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "doc_id int, url string")
+    got = {r["doc_id"]: r["canonical_url"] for r in canonicalize_urls(df).collect()}
+    for i, _u, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_gopher_quality_rules(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import gopher_quality_table
+
+    long_good = "the words flow and people have reasons to write with care " * 6  # 66 words
+    df = spark.createDataFrame(
+        [
+            (1, long_good.strip()),
+            (2, "short text only"),  # fails min_words
+            (3, " ".join(["@@@"] * 60)),  # no alpha words, no stopwords
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_table(df).collect()}
+    assert rows[1]["keep"] == 1 and rows[1]["n_words"] == 66
+    assert rows[1]["stopword_distinct"] >= 4
+    assert rows[2]["keep"] == 0
+    assert rows[3]["keep"] == 0 and rows[3]["alpha_word_milli"] == 0
