@@ -925,6 +925,16 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, benchmark)
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (RefinedWeb rule): row-local
+    array ops, zero shuffle; docs carrying the boilerplate paragraph both
+    prepended and appended (doc_id % 21 == 0) must lose the second copy."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import within_doc_line_dedup
+
+    corpus = build_paragraph_corpus(_table(spark, sf_dir, "documents"))
+    return within_doc_line_dedup(corpus).select("doc_id", "deduped_text")
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText-style document quality rules as exact integer
     columns + combined keep verdict — one row-local JVM projection."""
@@ -1265,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "url_canonicalize": q_url_canonicalize,
         "gopher_quality": q_gopher_quality,
+        "line_dedup": q_line_dedup,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1485,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_near_dup": _oracles.incremental_near_dup_sql(),
         "url_canonicalize": _oracles.url_canonicalize_sql(),
         "gopher_quality": _oracles.gopher_quality_sql(),
+        "line_dedup": _oracles.line_dedup_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

@@ -737,3 +737,24 @@ def incremental_near_dup_filter(
     return (
         increment.join(cross_dup, id_col, "left_anti").join(self_dup, id_col, "left_anti")
     )
+
+
+def within_doc_line_dedup_column(text_col: str = "text", sep: str = "\n") -> Column:
+    """RefinedWeb-style WITHIN-document repeated-line removal: keep the
+    first occurrence of each distinct non-empty line inside the document,
+    in order. Entirely ROW-LOCAL (array ops in one codegen projection —
+    zero shuffle at any scale); the corpus-wide form is
+    ``paragraph_dedup``.
+
+    Spark's ``array_distinct`` keeps first occurrences in order, so the
+    whole rule is: split → drop empties → array_distinct → rejoin.
+    Mirrored by ``oracles.line_dedup_sql`` (DuckDB list_distinct also
+    preserves first-occurrence order)."""
+    lines = F.filter(F.split(F.col(text_col), sep), lambda p: p != "")
+    return F.array_join(F.array_distinct(lines), sep)
+
+
+def within_doc_line_dedup(
+    df: DataFrame, text_col: str = "text", sep: str = "\n", out: str = "deduped_text"
+) -> DataFrame:
+    return df.withColumn(out, within_doc_line_dedup_column(text_col, sep))

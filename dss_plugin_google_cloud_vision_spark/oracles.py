@@ -741,3 +741,19 @@ def gopher_quality_sql(
         " THEN 1 ELSE 0 END AS int) AS keep "
         "FROM m"
     )
+
+
+def line_dedup_sql() -> str:
+    """Mirror of operators.dedup.within_doc_line_dedup_column over the
+    rendered paragraph corpus (docs with doc_id % 21 == 0 carry the
+    boilerplate line both prepended and appended — a true within-doc
+    repeat). First-occurrence-in-order dedup via an indexed list_filter
+    (DuckDB's list_distinct does NOT preserve order)."""
+    return (
+        f"WITH {paragraph_corpus_sql()}, "
+        "l AS (SELECT doc_id, list_filter(string_split(text, chr(10)), p -> p <> '') AS lines"
+        " FROM pcorpus) "
+        "SELECT doc_id, array_to_string("
+        " list_filter(lines, (x, i) -> list_position(lines[1:i-1], x) = 0), chr(10))"
+        " AS deduped_text FROM l"
+    )

@@ -439,3 +439,34 @@ def test_gopher_quality_rules(spark):
     assert rows[1]["stopword_distinct"] >= 4
     assert rows[2]["keep"] == 0
     assert rows[3]["keep"] == 0 and rows[3]["alpha_word_milli"] == 0
+
+
+def test_within_doc_line_dedup_row_local(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import within_doc_line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "boiler\nalpha\nboiler\nbeta\n\nalpha"),
+            (2, "unique one\nunique two"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r["deduped_text"] for r in within_doc_line_dedup(df).collect()}
+    assert out[1] == "boiler\nalpha\nbeta"
+    assert out[2] == "unique one\nunique two"
+    # zero shuffle: the plan must contain no Exchange
+    plan = within_doc_line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_paragraph_dedup_plan_uses_partial_min_not_window(spark):
+    """Winner election must be a map-combined min aggregation (skew-robust),
+    never a row_number window over the paragraph hash."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"para {i % 3}\ncommon line") for i in range(30)], "doc_id int, text string"
+    )
+    plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
