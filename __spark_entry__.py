@@ -868,7 +868,9 @@ def q_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     docs = _table(spark, sf_dir, "documents")
-    target = os.path.join(tempfile.gettempdir(), "oracle_partitioned_docs.parquet")
+    target = os.path.join(
+        tempfile.mkdtemp(prefix="oracle_partitioned_"), "docs.parquet"
+    )
     docs.write.mode("overwrite").partitionBy("lang").parquet(target)
     back = spark.read.parquet(target).filter(F.col("lang").isin("en", "fr"))
     return back.groupBy("lang").agg(
@@ -1001,13 +1003,13 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .unionAll(
             docs.filter(F.col("doc_id") % 10 == 6).select(
-                (F.col("doc_id") + 300000).alias("doc_id"),
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
                 F.concat(F.col("text"), F.lit(" zzz tail token")).alias("text"),
             )
         )
         .unionAll(
             docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 15 == 1)).select(
-                (F.col("doc_id") + 400000).alias("doc_id"), F.col("text")
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), F.col("text")
             )
         )
     )

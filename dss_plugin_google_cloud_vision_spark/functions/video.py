@@ -41,6 +41,8 @@ def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
     arr = np.asarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[3] != 3 or arr.shape[0] == 0:
         raise ValueError(f"expected (n, h, w, 3) RGB frames, got {arr.shape}")
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError(f"fps must be in [1, 1e6], got {fps}")
     n, height, width, _ = arr.shape
     row_bytes = _pad_row(width)
     frame_bytes = row_bytes * height

@@ -25,6 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
 from typing import List
 
 from pyspark.sql import Column, DataFrame
@@ -575,13 +576,14 @@ def paragraph_dedup(
     Output: id, deduped_text, n_kept, n_paragraphs (non-empty input
     count). Mirrored 1:1 by ``oracles.paragraph_dedup_sql``.
     """
+    sep_re = re.escape(sep)  # F.split takes a REGEX; sep is a literal
     paras = (
         df.select(
             F.col(id_col),
-            F.size(F.filter(F.split(F.col(text_col), sep), lambda p: p != "")).alias(
+            F.size(F.filter(F.split(F.col(text_col), sep_re), lambda p: p != "")).alias(
                 "n_paragraphs"
             ),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+            F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "para"),
         )
         .filter(F.col("para") != "")
         .withColumn("phash", F.md5(F.col("para")))
@@ -684,8 +686,10 @@ def incremental_near_dup_filter(
       ids (bounded by |increment| × bands) broadcast-semi-join the corpus
       before any shingle set is built, so corpus text is read for matched
       rows only;
-    - within-increment pairs reuse ``near_dup_pairs`` on the (small)
-      increment alone.
+    - the increment is signed/shingled ONCE: the same band table feeds
+      the cross join and the within-increment self-join, the same shingle
+      sets feed both verifications (identical subtrees also let Spark
+      reuse shuffle exchanges).
 
     Output: the surviving increment rows (all input columns).
     """
@@ -716,10 +720,15 @@ def incremental_near_dup_filter(
             ).alias(out_sh),
         )
 
+    # the increment's shingle sets are built ONCE and reused by both the
+    # cross-corpus and the within-increment verification (the oracle's
+    # sh_i CTE plays the same dual role); guarded inc bands likewise feed
+    # the within-increment self-join
+    inc_sets = shingle_sets(increment, "doc_i", "sh_i")
     matched_corpus_ids = cross_cand.select(F.col("doc_c").alias(id_col)).distinct()
     pruned_corpus = corpus.join(F.broadcast(matched_corpus_ids), id_col, "left_semi")
     verified = (
-        cross_cand.join(shingle_sets(increment, "doc_i", "sh_i"), "doc_i")
+        cross_cand.join(inc_sets, "doc_i")
         .join(shingle_sets(pruned_corpus, "doc_c", "sh_c"), "doc_c")
         .select(
             "doc_i",
@@ -729,8 +738,24 @@ def incremental_near_dup_filter(
         .filter(F.col("inter_size") * 1000 >= threshold_milli * F.col("union_size"))
     )
     cross_dup = verified.select(F.col("doc_i").alias(id_col)).distinct()
+    guarded_inc = _drop_oversized_buckets(inc_bands, ["band", "band_key"], max_bucket_size)
+    self_cand = (
+        guarded_inc.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+        .join(
+            guarded_inc.select(F.col(id_col).alias("doc_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     self_dup = (
-        near_dup_pairs(increment, id_col, text_col, threshold_milli=threshold_milli)
+        self_cand.join(inc_sets.select(F.col("doc_i").alias("doc_a"), F.col("sh_i").alias("sh_a")), "doc_a")
+        .join(inc_sets.select(F.col("doc_i").alias("doc_b"), F.col("sh_i").alias("sh_b")), "doc_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b")) * 1000
+            >= threshold_milli * F.size(F.array_union("sh_a", "sh_b"))
+        )
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )
@@ -748,9 +773,10 @@ def within_doc_line_dedup_column(text_col: str = "text", sep: str = "\n") -> Col
 
     Spark's ``array_distinct`` keeps first occurrences in order, so the
     whole rule is: split → drop empties → array_distinct → rejoin.
-    Mirrored by ``oracles.line_dedup_sql`` (DuckDB list_distinct also
-    preserves first-occurrence order)."""
-    lines = F.filter(F.split(F.col(text_col), sep), lambda p: p != "")
+    Mirrored by ``oracles.line_dedup_sql`` via an indexed list_filter
+    (DuckDB's list_distinct does NOT preserve order)."""
+    # F.split takes a REGEX; sep is a literal separator
+    lines = F.filter(F.split(F.col(text_col), re.escape(sep)), lambda p: p != "")
     return F.array_join(F.array_distinct(lines), sep)
 
 

@@ -213,7 +213,8 @@ def sample_video_frames(
     source frames; ``frame_index`` is the source frame ordinal and
     ``frame_offset`` the absolute byte offset of that frame's chunk data.
     Non-AVI payloads fall back to evenly spaced raw byte offsets with
-    ``frame_index`` 0..n-1 — or are dropped under ``strict=True``."""
+    ``frame_index`` 0..n-1 — or abort the task under ``strict=True``
+    (fail-fast, consistent with ``extract_media_features``)."""
     from ..functions.video import VideoDecodeError, avi_frame_offsets
 
     out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
@@ -238,7 +239,7 @@ def sample_video_frames(
                         frame_offset.append(offsets[int(src)][0])
                 except VideoDecodeError:
                     if strict:
-                        continue
+                        raise
                     for j in range(n_frames):
                         keep_rows.append(pos)
                         frame_index.append(j)

@@ -293,8 +293,9 @@ def lsh_ann_topk_sql(query_vec_id: int = 0, k: int = 10, n_planes: int = 8, n_ba
 
 
 def _flat_dot(a: str, b: str, dim: int) -> str:
-    """Left-associated flat dot mirror of similarity._flat_dot_sql — the
-    identical `x1 + x2 + ...` evaluation order as Spark's codegen chain."""
+    """Left-associated flat dot — the identical `x1 + x2 + ...` evaluation
+    order as similarity.ivf_cell_udf's per-dimension numpy accumulation
+    (one IEEE add per dimension, in order)."""
     return " + ".join(
         f"(CAST({a}[{d + 1}] AS DOUBLE) * CAST({b}[{d + 1}] AS DOUBLE))" for d in range(dim)
     )
@@ -594,10 +595,10 @@ INC_INCREMENT_CTE = (
     "inc AS ("
     " SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1"
     " UNION ALL"
-    " SELECT doc_id + 300000 AS doc_id, text || ' zzz tail token' AS text"
+    " SELECT doc_id + 10000000 AS doc_id, text || ' zzz tail token' AS text"
     "  FROM documents WHERE doc_id % 10 = 6"  # near-dups of corpus members
     " UNION ALL"
-    " SELECT doc_id + 400000 AS doc_id, text FROM documents"
+    " SELECT doc_id + 20000000 AS doc_id, text FROM documents"
     "  WHERE doc_id % 2 = 1 AND doc_id % 15 = 1"  # dups within the increment
     ")"
 )
@@ -719,7 +720,9 @@ def gopher_quality_sql(
     min_stopword_distinct: int = 2,
 ) -> str:
     """Mirror of operators.textstats.gopher_quality_table."""
-    stopwords = ", ".join(f"'{w}'" for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+    from .operators.textstats import GOPHER_STOPWORDS
+
+    stopwords = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     return (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
         "m AS (SELECT doc_id,"
