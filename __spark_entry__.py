@@ -927,6 +927,31 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, benchmark)
 
 
+def build_span_corpus(docs: DataFrame) -> DataFrame:
+    """Mirror of oracles.span_corpus_sql: fixed boilerplate sentence
+    appended to every doc_id % 10 == 3 document — its interior 8-token
+    windows repeat across all such documents."""
+    from dss_plugin_google_cloud_vision_spark.oracles import SPAN_BOILER
+
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 3, F.lit(" " + SPAN_BOILER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. duplicated-span removal,
+    relational form): repeated 8-token windows keep only their first
+    occurrence; window text never shuffles (hash + positions only)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import duplicate_span_removal
+
+    corpus = build_span_corpus(_table(spark, sf_dir, "documents"))
+    return duplicate_span_removal(corpus, window_n=8)
+
+
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (RefinedWeb rule): row-local
     array ops, zero shuffle; docs carrying the boilerplate paragraph both
@@ -1278,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
+        "duplicate_spans": q_duplicate_spans,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1499,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": _oracles.url_canonicalize_sql(),
         "gopher_quality": _oracles.gopher_quality_sql(),
         "line_dedup": _oracles.line_dedup_sql(),
+        "duplicate_spans": _oracles.duplicate_span_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

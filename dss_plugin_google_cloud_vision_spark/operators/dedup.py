@@ -784,3 +784,76 @@ def within_doc_line_dedup(
     df: DataFrame, text_col: str = "text", sep: str = "\n", out: str = "deduped_text"
 ) -> DataFrame:
     return df.withColumn(out, within_doc_line_dedup_column(text_col, sep))
+
+
+def duplicate_span_removal(
+    df: DataFrame,
+    window_n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicated-SPAN removal (the substring-level dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    expressed relationally instead of via a suffix array): any ``window_n``
+    consecutive tokens appearing more than once in the corpus (across
+    documents OR repeated within one) keep only their FIRST occurrence
+    (lowest (id, position)); every other occurrence's tokens are removed
+    and the documents are rebuilt from the surviving tokens in order.
+
+    Scale shape: the duplicated-window election is a groupBy on the
+    window hash carrying ONLY (hash, id, pos) — window text never
+    shuffles; winner election is a map-combined min(struct) (same
+    skew-robust shape as ``paragraph_dedup``); covered positions expand
+    row-locally; the rebuild anti-joins token positions (ints) and
+    reassembles per document. Token text crosses the wire once, in the
+    rebuild. Cost is O(corpus tokens) rows through two shuffles — what
+    substring-level dedup inherently costs; run it AFTER document-level
+    dedup has collapsed the cheap duplicates.
+
+    Output: id, deduped_text, n_tokens_kept, n_tokens. Documents whose
+    every token is removed drop out. Mirrored by
+    ``oracles.duplicate_span_sql``.
+    """
+    w = int(window_n)
+    base = df.select(F.col(id_col), tokens_column(text_col).alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # (id, idx, token): 1-based, mirrors the oracle
+    tok = base.select(
+        F.col(id_col),
+        F.posexplode(toks).alias("idx0", "tok"),
+        n.alias("n_tokens"),
+    ).select(id_col, (F.col("idx0") + 1).alias("idx"), "tok", "n_tokens")
+    window_structs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("wh"),
+        ),
+    )
+    win = base.select(F.col(id_col), F.explode(window_structs).alias("s")).select(
+        id_col, F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh")
+    )
+    dup = (
+        win.groupBy("wh")
+        .agg(F.count("*").alias("c"), F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .filter(F.col("c") > 1)
+        .select("wh", F.col(f"w.{id_col}").alias("w_id"), F.col("w.pos").alias("w_pos"))
+    )
+    marks = win.join(dup, "wh").filter(
+        ~((F.col(id_col) == F.col("w_id")) & (F.col("pos") == F.col("w_pos")))
+    )
+    covered = marks.select(
+        F.col(id_col), F.explode(F.sequence(F.col("pos"), F.col("pos") + (w - 1))).alias("idx")
+    ).distinct()
+    kept = tok.join(covered, [id_col, "idx"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("deduped_text"),
+        F.count("*").cast("bigint").alias("n_tokens_kept"),
+        F.first("n_tokens").cast("bigint").alias("n_tokens"),
+    )

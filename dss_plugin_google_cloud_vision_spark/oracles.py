@@ -760,3 +760,59 @@ def line_dedup_sql() -> str:
         " list_filter(lines, (x, i) -> list_position(lines[1:i-1], x) = 0), chr(10))"
         " AS deduped_text FROM l"
     )
+
+
+SPAN_BOILER = (
+    "click here to subscribe to our free weekly newsletter and never miss an update again"
+)  # 15 tokens
+
+
+def span_corpus_sql() -> str:
+    """Corpus with planted duplicated spans: docs with doc_id % 10 = 3 get
+    the fixed boilerplate sentence appended — its interior windows repeat
+    across every such document (mirror: ``build_span_corpus``)."""
+    return (
+        "scorpus AS ("
+        " SELECT doc_id,"
+        f"  text || (CASE WHEN doc_id % 10 = 3 THEN ' {SPAN_BOILER}' ELSE '' END) AS text"
+        " FROM documents)"
+    )
+
+
+def duplicate_span_sql(window_n: int = 8) -> str:
+    """Mirror of operators.dedup.duplicate_span_removal over the planted
+    span corpus."""
+    w = int(window_n)
+    return (
+        f"WITH {span_corpus_sql()}, "
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM scorpus), "
+        "tok AS ("
+        " SELECT doc_id, u.idx AS idx, u.tok AS tok, len(toks) AS n_tokens FROM ("
+        "  SELECT doc_id, toks,"
+        "   unnest(list_transform(generate_series(1, len(toks)),"
+        "    i -> struct_pack(idx := i, tok := toks[i]))) AS u"
+        "  FROM t)), "
+        "win AS ("
+        " SELECT doc_id, u.pos AS pos, u.wh AS wh FROM ("
+        "  SELECT doc_id,"
+        f"   unnest(list_transform(generate_series(1, greatest(len(toks) - {w - 1}, 0)),"
+        f"    i -> struct_pack(pos := i, wh := md5(array_to_string(toks[i:i+{w - 1}], ' '))))) AS u"
+        "  FROM t)), "
+        "dup AS ("
+        " SELECT wh, w FROM ("
+        "  SELECT wh, count(*) AS c,"
+        "   min(struct_pack(doc_id := doc_id, pos := pos)) AS w"
+        "  FROM win GROUP BY wh) WHERE c > 1), "
+        "marks AS ("
+        " SELECT win.doc_id, win.pos FROM win JOIN dup ON win.wh = dup.wh"
+        " WHERE NOT (win.doc_id = dup.w.doc_id AND win.pos = dup.w.pos)), "
+        "covered AS ("
+        f" SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {w - 1})) AS idx FROM marks), "
+        "kept AS ("
+        " SELECT tok.doc_id, tok.idx, tok.tok, tok.n_tokens FROM tok"
+        " ANTI JOIN covered ON tok.doc_id = covered.doc_id AND tok.idx = covered.idx) "
+        "SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS deduped_text, "
+        "cast(count(*) AS bigint) AS n_tokens_kept, "
+        "cast(min(n_tokens) AS bigint) AS n_tokens "
+        "FROM kept GROUP BY doc_id"
+    )

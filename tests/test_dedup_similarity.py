@@ -470,3 +470,30 @@ def test_paragraph_dedup_plan_uses_partial_min_not_window(spark):
     plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_duplicate_span_removal_semantics(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import duplicate_span_removal
+
+    boiler = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"epsilon zeta {boiler} eta theta"),  # later copy -> boiler removed
+        (3, "iota kappa lambda mu nu xi omicron pi"),  # unique, untouched
+        (4, boiler),  # whole doc duplicated -> fully removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_removal(df, window_n=8).collect()}
+    # winner (lowest (doc, pos)) keeps its copy verbatim
+    assert out[1]["deduped_text"] == rows[0][1]
+    assert out[1]["n_tokens_kept"] == out[1]["n_tokens"] == 14
+    # doc 2 loses exactly the boilerplate tokens, keeps its own
+    assert out[2]["deduped_text"] == "epsilon zeta eta theta"
+    assert out[2]["n_tokens_kept"] == 4 and out[2]["n_tokens"] == 14
+    assert out[3]["deduped_text"] == rows[2][1]
+    assert 4 not in out  # every token removed -> document drops
+
+    # window-hash election must never shuffle window text: the dup
+    # groupBy carries only (hash, id, pos)
+    plan = duplicate_span_removal(df, window_n=8)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
