@@ -21,6 +21,15 @@ Scale notes:
   pair at hamming<=3 shares an unchanged band; verified with bit_count).
 - Embedding near-dups: hyperplane-LSH band blocking + exact-cosine verify
   on candidates only — no all-pairs join anywhere.
+- Sub-document granularity: ``within_doc_line_dedup`` (row-local, zero
+  shuffle), ``paragraph_dedup`` (corpus-wide keep-first, skew-robust
+  min-agg election), ``duplicate_span_removal`` (repeated n-token windows,
+  hash+positions-only shuffles).
+- Incremental: ``incremental_exact_dedup`` (fingerprint anti-join against
+  the persisted corpus), ``incremental_near_dup_filter`` (increment bands
+  vs the persisted corpus band table).
+- Decontamination: ``ngram_contamination`` (broadcast benchmark shingle
+  set, zero shingle-text shuffle).
 """
 
 from __future__ import annotations
