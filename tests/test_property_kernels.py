@@ -131,3 +131,78 @@ def test_tiff_build_split_merge_round_trip(frames):
         assert frame.text == "\n".join(lines)
         for span, line in zip(frame.spans, lines):
             assert frame.text[span[1] : span[2]] == line
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(1, 5),
+    st.integers(1, 12),
+    st.integers(1, 15),
+    st.integers(0, 2**32 - 1),
+)
+def test_avi_codec_round_trip_property(n, h, w, seed):
+    """encode_avi -> decode_avi is the identity for ANY frame geometry
+    (incl. widths whose 3-byte rows need DIB padding) and any content."""
+    import numpy as np
+
+    from dss_plugin_google_cloud_vision_spark.functions.video import (
+        avi_frame_offsets,
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(seed % 2**31)
+    frames = rng.randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+    payload = encode_avi(frames, fps=1 + seed % 60)
+    back, fps = decode_avi(payload)
+    assert back.shape == frames.shape and (back == frames).all()
+    assert fps >= 1
+    offsets, gw, gh, _f = avi_frame_offsets(payload)
+    assert len(offsets) == n and (gw, gh) == (w, h)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=300))
+def test_avi_decode_total_over_binary(payload):
+    """decode_avi never crashes with anything but VideoDecodeError on
+    arbitrary bytes (totality — the error-column contract upstream)."""
+    from dss_plugin_google_cloud_vision_spark.functions.video import (
+        VideoDecodeError,
+        decode_avi,
+    )
+
+    try:
+        decode_avi(payload)
+    except VideoDecodeError:
+        pass
+
+
+@settings(max_examples=12, deadline=None)  # each example is 2 Spark jobs
+@given(
+    st.sampled_from(["http", "https", "HTTPS", "Http"]),
+    st.text(alphabet="aBcD.-09", min_size=1, max_size=12),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(
+        st.sampled_from(["a=1", "b=2", "Z=9", "utm_x=1", "gclid=7", "ref=h", ""]),
+        max_size=5,
+    ),
+    st.sampled_from(["", "#frag", "#a#b"]),
+)
+def test_url_canonicalization_idempotent(scheme, host, port, params, frag):
+    """canonical(canonical(u)) == canonical(u) for structured URLs —
+    canonicalization must be a projection (checked via the batch op on a
+    shared local session)."""
+    url = f"{scheme}://{host}{port}/P/q"
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    from dss_plugin_google_cloud_vision_spark.operators.urls import canonicalize_urls
+    from dss_plugin_google_cloud_vision_spark.session import get_spark
+
+    spark = get_spark(cores=2)
+    df = spark.createDataFrame([(url,)], "url string")
+    once = canonicalize_urls(df).collect()[0]["canonical_url"]
+    twice = canonicalize_urls(
+        spark.createDataFrame([(once,)], "url string")
+    ).collect()[0]["canonical_url"]
+    assert once == twice
