@@ -942,6 +942,28 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_hot_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH hot-bucket guard's REPORT surface under a planted flood:
+    600 extra copies of doc 0 collapse onto one MinHash signature, so the
+    family's band buckets exceed the 512 cap and must be reported (the
+    no-silent-caps rule made oracle-checkable)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        DEFAULT_MAX_BAND_BUCKET,
+        lsh_band_keys,
+        minhash_signature,
+        oversized_band_buckets,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") == 0).select("text")
+    copies = seed.select(
+        F.explode(F.sequence(F.lit(1), F.lit(600))).alias("i"), F.col("text")
+    ).select((F.lit(900000) + F.col("i")).alias("doc_id"), "text")
+    flood = docs.unionAll(copies)
+    bands = lsh_band_keys(minhash_signature(flood))
+    return oversized_band_buckets(bands, ["band", "band_key"], DEFAULT_MAX_BAND_BUCKET)
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup (Lee et al. duplicated-span removal,
     relational form): repeated 8-token windows keep only their first
@@ -1304,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
+        "hot_bucket_report": q_hot_bucket_report,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1526,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _oracles.gopher_quality_sql(),
         "line_dedup": _oracles.line_dedup_sql(),
         "duplicate_spans": _oracles.duplicate_span_sql(),
+        "hot_bucket_report": _oracles.hot_bucket_report_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

@@ -816,3 +816,25 @@ def duplicate_span_sql(window_n: int = 8) -> str:
         "cast(min(n_tokens) AS bigint) AS n_tokens "
         "FROM kept GROUP BY doc_id"
     )
+
+
+def hot_bucket_report_sql(n_copies: int = 600, max_bucket: int = 512) -> str:
+    """Mirror of operators.dedup.oversized_band_buckets over a corpus with
+    a planted boilerplate family: ``n_copies`` extra copies of doc 0's
+    text (ids 900000+k) collapse onto one MinHash signature, so every
+    band bucket holding the family exceeds the cap and must be reported
+    (the no-silent-caps contract of the LSH hot-bucket guard)."""
+    flood = (
+        "flood AS ("
+        " SELECT doc_id, text FROM documents"
+        " UNION ALL"
+        f" SELECT 900000 + g.i AS doc_id, d.text AS text"
+        f" FROM (SELECT text FROM documents WHERE doc_id = 0) d,"
+        f"  (SELECT unnest(generate_series(1, {n_copies})) AS i) g)"
+    )
+    return (
+        f"WITH {flood}, "
+        f"{shingle_cte('flood')}, {_sig_cte()}, {_bands_cte()} "
+        "SELECT band, band_key, cast(count(*) AS bigint) AS bucket_n "
+        f"FROM bands GROUP BY band, band_key HAVING count(*) > {max_bucket}"
+    )
