@@ -942,6 +942,18 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training loaders: every document's slot in the
+    packed fixed-budget token stream, via a scalable TWO-PHASE prefix sum
+    (coarse-group totals + bounded in-group windows — never one global
+    window partition); must equal the oracle's naive global cumsum. A
+    small group_size forces many groups so the two-phase path is really
+    exercised."""
+    from dss_plugin_google_cloud_vision_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_table(spark, sf_dir, "documents"), budget_tokens=512, group_size=64)
+
+
 def q_hot_bucket_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH hot-bucket guard's REPORT surface under a planted flood:
     600 extra copies of doc 0 collapse onto one MinHash signature, so the
@@ -1327,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
         "hot_bucket_report": q_hot_bucket_report,
+        "pack_sequences": q_pack_sequences,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1550,6 +1563,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _oracles.line_dedup_sql(),
         "duplicate_spans": _oracles.duplicate_span_sql(),
         "hot_bucket_report": _oracles.hot_bucket_report_sql(),
+        "pack_sequences": _oracles.pack_sequences_sql(budget_tokens=512),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

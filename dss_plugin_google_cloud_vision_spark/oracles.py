@@ -838,3 +838,26 @@ def hot_bucket_report_sql(n_copies: int = 600, max_bucket: int = 512) -> str:
         "SELECT band, band_key, cast(count(*) AS bigint) AS bucket_n "
         f"FROM bands GROUP BY band, band_key HAVING count(*) > {max_bucket}"
     )
+
+
+def pack_sequences_sql(budget_tokens: int = 2048) -> str:
+    """Mirror of operators.packing.pack_sequences: the naive global
+    cumsum (fine at oracle scale) must equal the operator's two-phase
+    prefix sum exactly."""
+    return (
+        "WITH t AS ("
+        " SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n_tokens"
+        " FROM documents), "
+        "p AS ("
+        " SELECT doc_id, n_tokens,"
+        "  coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
+        "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start"
+        " FROM t) "
+        "SELECT doc_id, n_tokens, "
+        f"cast(floor(start / {budget_tokens}) AS bigint) AS seq_id, "
+        f"cast(start % {budget_tokens} AS bigint) AS offset_in_seq, "
+        "cast(CASE WHEN n_tokens > 0 AND"
+        f" floor((start + n_tokens - 1) / {budget_tokens}) > floor(start / {budget_tokens})"
+        " THEN 1 ELSE 0 END AS int) AS spans_boundary "
+        "FROM p"
+    )

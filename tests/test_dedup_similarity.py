@@ -497,3 +497,27 @@ def test_duplicate_span_removal_semantics(spark):
     # groupBy carries only (hash, id, pos)
     plan = duplicate_span_removal(df, window_n=8)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
+
+
+def test_pack_sequences_two_phase_prefix_sum(spark):
+    """Hand-computed packing + equality between two-phase groupings (the
+    prefix sum must not depend on group_size) + no global single-partition
+    window in the plan."""
+    from dss_plugin_google_cloud_vision_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in [(0, 5), (1, 4), (2, 3), (3, 8), (4, 2)]]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget_tokens=8, group_size=2).collect()}
+    # stream: doc0 [0,5) doc1 [5,9) doc2 [9,12) doc3 [12,20) doc4 [20,22)
+    assert (out[0]["seq_id"], out[0]["offset_in_seq"], out[0]["spans_boundary"]) == (0, 0, 0)
+    assert (out[1]["seq_id"], out[1]["offset_in_seq"], out[1]["spans_boundary"]) == (0, 5, 1)
+    assert (out[2]["seq_id"], out[2]["offset_in_seq"], out[2]["spans_boundary"]) == (1, 1, 0)
+    assert (out[3]["seq_id"], out[3]["offset_in_seq"], out[3]["spans_boundary"]) == (1, 4, 1)
+    assert (out[4]["seq_id"], out[4]["offset_in_seq"], out[4]["spans_boundary"]) == (2, 4, 0)
+
+    for gs in (1, 3, 1000):
+        again = {
+            r["doc_id"]: (r["seq_id"], r["offset_in_seq"])
+            for r in pack_sequences(df, budget_tokens=8, group_size=gs).collect()
+        }
+        assert again == {k: (v["seq_id"], v["offset_in_seq"]) for k, v in out.items()}
