@@ -942,6 +942,17 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (chunk 64, stride 48): row-local
+    sequence+transform+explode, no shuffle — the RAG/long-context
+    windowing step."""
+    from dss_plugin_google_cloud_vision_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _table(spark, sf_dir, "documents"), chunk_tokens=64, stride_tokens=48
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training loaders: every document's slot in the
     packed fixed-budget token stream, via a scalable TWO-PHASE prefix sum
@@ -1340,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "hot_bucket_report": q_hot_bucket_report,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1564,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _oracles.duplicate_span_sql(),
         "hot_bucket_report": _oracles.hot_bucket_report_sql(),
         "pack_sequences": _oracles.pack_sequences_sql(budget_tokens=512),
+        "chunk_documents": _oracles.chunk_documents_sql(chunk_tokens=64, stride_tokens=48),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

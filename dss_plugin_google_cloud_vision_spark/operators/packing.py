@@ -82,3 +82,52 @@ def pack_sequences(
         .cast("int")
         .alias("spans_boundary"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 256,
+    stride_tokens: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-window chunking (the RAG / long-context windowing step):
+    split each document into chunks of ``chunk_tokens`` tokens starting
+    every ``stride_tokens`` (overlap = chunk - stride), last partial
+    chunk kept; a document shorter than one chunk yields itself whole.
+    Entirely ROW-LOCAL (sequence + transform + posexplode — no shuffle,
+    embarrassingly parallel at any scale).
+
+    Output: id, chunk_id (0-based), token_start (0-based), chunk_text,
+    n_chunk_tokens. Mirrored by ``oracles.chunk_documents_sql``.
+    """
+    if stride_tokens < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride_tokens must be >= 1")
+    # pre-bound token array: an inline split referenced inside the
+    # transform lambda is re-evaluated per chunk (no CSE in interpreted
+    # higher-order lambdas — the shingles_column lesson)
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    n = F.size(toks)
+    # starts: 0, stride, 2*stride, ... while start < n (at least one chunk)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / stride_tokens) + 1, F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.alias("chunk_id"),
+            (c * stride_tokens).alias("token_start"),
+            F.array_join(F.slice(toks, c * stride_tokens + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+            F.least(n - c * stride_tokens, F.lit(chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(chunks).alias("ch")).select(
+        id_col,
+        F.col("ch.chunk_id").cast("int").alias("chunk_id"),
+        F.col("ch.token_start").cast("bigint").alias("token_start"),
+        F.col("ch.chunk_text").alias("chunk_text"),
+        F.col("ch.n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
+    )

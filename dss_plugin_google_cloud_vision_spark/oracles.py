@@ -861,3 +861,22 @@ def pack_sequences_sql(budget_tokens: int = 2048) -> str:
         " THEN 1 ELSE 0 END AS int) AS spans_boundary "
         "FROM p"
     )
+
+
+def chunk_documents_sql(chunk_tokens: int = 64, stride_tokens: int = 48) -> str:
+    """Mirror of operators.packing.chunk_documents."""
+    c, st = int(chunk_tokens), int(stride_tokens)
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "m AS (SELECT doc_id, toks, len(toks) AS n,"
+        f" greatest(cast(ceil((len(toks) - {c}) / {st}.0) AS int) + 1, 1) AS n_chunks FROM t) "
+        "SELECT doc_id, u.chunk_id AS chunk_id, u.token_start AS token_start,"
+        " u.chunk_text AS chunk_text, u.n_chunk_tokens AS n_chunk_tokens FROM ("
+        " SELECT doc_id, unnest(list_transform(generate_series(0, n_chunks - 1),"
+        "  k -> struct_pack("
+        "   chunk_id := cast(k AS int),"
+        f"   token_start := cast(k * {st} AS bigint),"
+        f"   chunk_text := array_to_string(toks[k * {st} + 1 : k * {st} + {c}], ' '),"
+        f"   n_chunk_tokens := cast(least(n - k * {st}, {c}) AS bigint)))) AS u"
+        " FROM m)"
+    )

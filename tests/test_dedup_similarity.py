@@ -521,3 +521,27 @@ def test_pack_sequences_two_phase_prefix_sum(spark):
             for r in pack_sequences(df, budget_tokens=8, group_size=gs).collect()
         }
         assert again == {k: (v["seq_id"], v["offset_in_seq"]) for k, v in out.items()}
+
+
+def test_chunk_documents_windows(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b")],
+        "doc_id int, text string",
+    )
+    out = [
+        (r["doc_id"], r["chunk_id"], r["token_start"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, stride_tokens=3)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    ]
+    assert out == [
+        (1, 0, 0, "t0 t1 t2 t3", 4),
+        (1, 1, 3, "t3 t4 t5 t6", 4),
+        (1, 2, 6, "t6 t7 t8 t9", 4),
+        (2, 0, 0, "a b", 2),  # shorter than one chunk -> whole doc
+    ]
+    # row-local: no Exchange in the plan
+    plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
