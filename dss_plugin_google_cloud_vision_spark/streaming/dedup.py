@@ -41,7 +41,12 @@ def stream_exact_dedup(
 
     Returns the input rows plus the ``_fp`` column (the same column
     ``incremental_exact_dedup`` persists, so a streaming-deduped corpus
-    and a batch-deduped corpus are mutually resumable)."""
+    and a batch-deduped corpus are mutually resumable — VERIFIED in
+    tests/test_stateful_streaming.py). Interop caveat: write the corpus
+    via ``foreachBatch`` (plain parquet), not the default streaming file
+    sink — the file sink's ``_spark_metadata`` transaction log makes any
+    file appended later by a BATCH job invisible to readers of the
+    directory."""
     fingerprinted = stream.withColumn(FINGERPRINT_COLUMN, F.md5(F.col(text_col)))
     if watermark is not None:
         ts_col, delay = watermark

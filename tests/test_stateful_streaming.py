@@ -331,3 +331,46 @@ def test_streaming_exact_dedup_across_batches_and_restarts(spark, tmp_path):
     import hashlib
 
     assert fps[5] == hashlib.md5(b"gamma three").hexdigest()
+
+
+def test_streaming_and_batch_dedup_mutually_resumable(spark, tmp_path):
+    """The _fp column contract: a corpus written by the STREAMING dedup
+    can be extended by the BATCH incremental dedup — texts already
+    ingested by the stream are recognized and skipped."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import incremental_exact_dedup
+    from dss_plugin_google_cloud_vision_spark.streaming.dedup import stream_exact_dedup
+
+    schema = "doc_id long, text string"
+    input_dir = str(tmp_path / "in")
+    corpus_dir = str(tmp_path / "corpus")
+    checkpoint = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(
+        [(1, "alpha one"), (2, "beta two")], schema
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    stream = spark.readStream.schema(schema).format("parquet").option("path", input_dir).load()
+
+    # foreachBatch plain-parquet sink: the default streaming file sink
+    # writes a _spark_metadata log that HIDES files appended later by
+    # batch jobs (documented in streaming.dedup) — a batch-extendable
+    # corpus must be written without it
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(corpus_dir)
+
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(300)
+
+    inc = spark.createDataFrame(
+        [(10, "alpha one"), (11, "gamma three")], schema  # 10 = cross-mode dup
+    )
+    n = incremental_exact_dedup(spark, inc, corpus_dir, return_corpus_size=True)
+    assert n == 3
+    kept = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
+    assert kept == {1, 2, 11}
