@@ -942,6 +942,14 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity scoring (integer-exact LM-quality proxy):
+    vocabulary aggregate + occurrence join + per-doc rollup."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import token_rarity_table
+
+    return token_rarity_table(_table(spark, sf_dir, "documents"))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking with overlap (chunk 64, stride 48): row-local
     sequence+transform+explode, no shuffle — the RAG/long-context
@@ -1352,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_bucket_report": q_hot_bucket_report,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
+        "token_rarity": q_token_rarity,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1577,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "hot_bucket_report": _oracles.hot_bucket_report_sql(),
         "pack_sequences": _oracles.pack_sequences_sql(budget_tokens=512),
         "chunk_documents": _oracles.chunk_documents_sql(chunk_tokens=64, stride_tokens=48),
+        "token_rarity": _oracles.token_rarity_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

@@ -298,3 +298,39 @@ def gopher_quality_table(
         # int not boolean: exact cross-engine value-hash form
         keep.cast("int").alias("keep"),
     )
+
+
+def token_rarity_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency rarity signals per document (a deterministic,
+    integer-exact stand-in for LM-perplexity quality scoring): build the
+    corpus token-frequency table, then score each document by the
+    frequency of its tokens — documents full of corpus-rare tokens are
+    OCR garbage / boilerplate-hash candidates, documents of only
+    ultra-common tokens carry little signal.
+
+    Scale shape: one token explode feeding a map-combined
+    ``groupBy(token).count()`` (the vocabulary table — Zipf-small next to
+    the corpus), a shuffle join of token occurrences to their frequency,
+    and a map-collapsing per-document aggregate. All arithmetic integer.
+
+    Output: id, n_tokens, min_token_freq (the rarest token's corpus
+    count), mean_token_freq_milli (floor(sum(freq)*1000 / n_tokens)).
+    Mirrored by ``oracles.token_rarity_sql``.
+    """
+    occurrences = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocabulary = occurrences.groupBy("tok").agg(F.count("*").alias("freq"))
+    return (
+        occurrences.join(vocabulary, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.min("freq").cast("bigint").alias("min_token_freq"),
+            F.floor(F.sum("freq") * 1000 / F.count("*")).cast("bigint").alias(
+                "mean_token_freq_milli"
+            ),
+        )
+    )

@@ -880,3 +880,16 @@ def chunk_documents_sql(chunk_tokens: int = 64, stride_tokens: int = 48) -> str:
         f"   n_chunk_tokens := cast(least(n - k * {st}, {c}) AS bigint)))) AS u"
         " FROM m)"
     )
+
+
+def token_rarity_sql() -> str:
+    """Mirror of operators.textstats.token_rarity_table."""
+    return (
+        "WITH occ AS ("
+        " SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), "
+        "vocab AS (SELECT tok, count(*) AS freq FROM occ GROUP BY tok) "
+        "SELECT occ.doc_id, cast(count(*) AS bigint) AS n_tokens, "
+        "cast(min(freq) AS bigint) AS min_token_freq, "
+        "cast(floor(sum(freq) * 1000 / count(*)) AS bigint) AS mean_token_freq_milli "
+        "FROM occ JOIN vocab ON occ.tok = vocab.tok GROUP BY occ.doc_id"
+    )
