@@ -942,6 +942,17 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full web-curation composition (plans.web_curation): line dedup
+    -> Gopher gate -> exact keep-first -> near-dup CC collapse ->
+    sequence packing, summarized in one row incl. a sum-of-kept-ids
+    exactness witness; mirrored end-to-end by one recursive-CTE oracle."""
+    from dss_plugin_google_cloud_vision_spark.plans.web_curation import curate_web_corpus
+
+    corpus = build_paragraph_corpus(_table(spark, sf_dir, "documents"))
+    return curate_web_corpus(corpus)
+
+
 def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency rarity scoring (integer-exact LM-quality proxy):
     vocabulary aggregate + occurrence join + per-doc rollup."""
@@ -1361,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "token_rarity": q_token_rarity,
+        "web_curation_pipeline": q_web_curation,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1587,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracles.pack_sequences_sql(budget_tokens=512),
         "chunk_documents": _oracles.chunk_documents_sql(chunk_tokens=64, stride_tokens=48),
         "token_rarity": _oracles.token_rarity_sql(),
+        "web_curation_pipeline": _oracles.web_curation_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

@@ -718,13 +718,17 @@ def gopher_quality_sql(
     max_mean_word_len_milli: int = 10_000,
     min_alpha_word_milli: int = 800,
     min_stopword_distinct: int = 2,
+    source: str = "documents",
+    with_prefix: str = "WITH ",
 ) -> str:
-    """Mirror of operators.textstats.gopher_quality_table."""
+    """Mirror of operators.textstats.gopher_quality_table over ``source``
+    (a table or upstream CTE with (doc_id, text)); set ``with_prefix=''``
+    to splice the body into an outer WITH chain."""
     from .operators.textstats import GOPHER_STOPWORDS
 
     stopwords = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     return (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        f"{with_prefix}t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM {source}), "
         "m AS (SELECT doc_id,"
         " cast(len(toks) AS bigint) AS n_words,"
         " cast(list_sum(list_transform(toks, x -> length(x))) AS bigint) AS char_sum,"
@@ -892,4 +896,59 @@ def token_rarity_sql() -> str:
         "cast(min(freq) AS bigint) AS min_token_freq, "
         "cast(floor(sum(freq) * 1000 / count(*)) AS bigint) AS mean_token_freq_milli "
         "FROM occ JOIN vocab ON occ.tok = vocab.tok GROUP BY occ.doc_id"
+    )
+
+
+def web_curation_sql(
+    min_words: int = 40, threshold_milli: int = 800, budget_tokens: int = 512
+) -> str:
+    """Mirror of plans.web_curation.curate_web_corpus over the rendered
+    paragraph corpus: line dedup → Gopher gate → exact keep-first →
+    near-dup CC collapse (recursive CTE) → packing summary. The gopher
+    CTE nests its own WITH (scoped); ``_near_dup_pairs_ctes`` receives
+    the whole upstream chain as its corpus definition."""
+    upstream = (
+        f"{paragraph_corpus_sql()}, "
+        # MATERIALIZED: each CTE here is referenced several times and sits
+        # on a deep chain — DuckDB would otherwise inline (recompute) the
+        # whole upstream per reference, multiplicatively (measured 318s ->
+        # ~5s for the full mirror)
+        "lns AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, chr(10)), p -> p <> '')"
+        " AS lines FROM pcorpus), "
+        "ld AS MATERIALIZED (SELECT doc_id, array_to_string("
+        " list_filter(lines, (x, i) -> list_position(lines[1:i-1], x) = 0), chr(10))"
+        " AS text FROM lns), "
+        f"gq AS MATERIALIZED ({gopher_quality_sql(min_words=min_words, source='ld')}), "
+        "gated AS MATERIALIZED (SELECT ld.doc_id, ld.text FROM ld JOIN gq ON ld.doc_id = gq.doc_id"
+        " WHERE gq.keep = 1), "
+        "keepers AS (SELECT text, min(doc_id) AS keep FROM gated GROUP BY text), "
+        "corpus AS MATERIALIZED (SELECT g.doc_id, g.text FROM gated g"
+        " JOIN keepers k ON g.text = k.text AND g.doc_id = k.keep)"
+    )
+    return (
+        f"WITH RECURSIVE {_near_dup_pairs_ctes(threshold_milli, upstream)}, "
+        "edges AS ("
+        " SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b AS src, doc_a AS dst FROM pairs), "
+        "reach(node, label) AS ("
+        " SELECT src AS node, src AS label FROM edges"
+        " UNION"
+        " SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node), "
+        "losers AS ("
+        " SELECT node FROM (SELECT node, min(label) AS cluster FROM reach GROUP BY node)"
+        " WHERE node <> cluster), "
+        "final AS MATERIALIZED (SELECT doc_id, text FROM corpus"
+        " WHERE doc_id NOT IN (SELECT node FROM losers)), "
+        "ft AS MATERIALIZED (SELECT doc_id, cast(len(string_split(text, ' ')) AS bigint) AS n FROM final), "
+        "pk AS (SELECT doc_id, n, coalesce(sum(n) OVER (ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start FROM ft) "
+        "SELECT"
+        " (SELECT count(*) FROM pcorpus) AS n_input,"
+        " (SELECT count(*) FROM gated) AS n_gated,"
+        " (SELECT count(*) FROM corpus) AS n_exact,"
+        " (SELECT count(*) FROM final) AS n_final,"
+        " (SELECT cast(sum(n) AS bigint) FROM ft) AS total_tokens,"
+        " (SELECT cast(sum(doc_id) AS bigint) FROM final) AS sum_kept_ids,"
+        f" (SELECT cast(max(cast(floor(start / {budget_tokens}) AS bigint)) + 1 AS bigint)"
+        "  FROM pk) AS n_sequences"
     )
