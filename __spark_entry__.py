@@ -942,6 +942,17 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_gopher_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-aware Gopher gate: Unicode-letter alpha rule, stopword
+    presence checked against the document's OWN language profile
+    (no-profile languages exempt, not auto-failed)."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        gopher_quality_multilingual_table,
+    )
+
+    return gopher_quality_multilingual_table(_table(spark, sf_dir, "documents"))
+
+
 def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full web-curation composition (plans.web_curation): line dedup
     -> Gopher gate -> exact keep-first -> near-dup CC collapse ->
@@ -1373,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "token_rarity": q_token_rarity,
         "web_curation_pipeline": q_web_curation,
+        "gopher_multilingual": q_gopher_multilingual,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1600,6 +1612,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _oracles.chunk_documents_sql(chunk_tokens=64, stride_tokens=48),
         "token_rarity": _oracles.token_rarity_sql(),
         "web_curation_pipeline": _oracles.web_curation_sql(),
+        "gopher_multilingual": _oracles.gopher_multilingual_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

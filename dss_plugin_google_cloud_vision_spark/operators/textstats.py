@@ -334,3 +334,69 @@ def token_rarity_table(
             ),
         )
     )
+
+
+def gopher_quality_multilingual_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 2000,
+    max_mean_word_len_milli: int = 12_000,
+    min_letter_word_milli: int = 800,
+    min_stopword_distinct: int = 2,
+) -> DataFrame:
+    """Language-aware Gopher gate: the English-centric rules of
+    ``gopher_quality_table`` mis-gate non-Latin documents (zh tokens have
+    no ``[A-Za-z]`` and no English stopwords), so this variant:
+
+    - counts LETTER words with the Unicode ``\\p{L}`` class (Java regex /
+      RE2 common subset — identical spans both engines);
+    - checks stopword presence against the DOCUMENT'S OWN language
+      profile (``functions.langid.LANG_STOPWORDS``, the shared constant);
+      languages without a profile (e.g. zh) are EXEMPT from the stopword
+      rule rather than auto-failed.
+
+    Row-local JVM expressions; mirrored by
+    ``oracles.gopher_multilingual_sql``.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    char_sum = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    mean_wl_milli = F.when(n_words > 0, F.floor(char_sum * 1000 / n_words)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    letter_words = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    letter_milli = F.when(n_words > 0, F.floor(letter_words * 1000 / n_words)).otherwise(
+        F.lit(0)
+    ).cast("bigint")
+    lowered = F.transform(toks, lambda t: F.lower(t))
+    stop_distinct: Column = F.lit(None).cast("bigint")
+    for code in reversed(list(LANG_STOPWORDS)):
+        profile = F.array(*[F.lit(w) for w in LANG_STOPWORDS[code]])
+        stop_distinct = F.when(
+            F.col(lang_col) == code,
+            F.size(F.array_intersect(lowered, profile)).cast("bigint"),
+        ).otherwise(stop_distinct)
+    stop_rule_ok = F.when(
+        stop_distinct.isNull(), F.lit(True)  # no profile for this language: exempt
+    ).otherwise(stop_distinct >= min_stopword_distinct)
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl_milli >= min_mean_word_len_milli)
+        & (mean_wl_milli <= max_mean_word_len_milli)
+        & (letter_milli >= min_letter_word_milli)
+        & stop_rule_ok
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl_milli.alias("mean_word_len_milli"),
+        letter_milli.alias("letter_word_milli"),
+        F.coalesce(stop_distinct, F.lit(-1)).cast("bigint").alias("stopword_distinct"),
+        keep.cast("int").alias("keep"),
+    )

@@ -952,3 +952,45 @@ def web_curation_sql(
         f" (SELECT cast(max(cast(floor(start / {budget_tokens}) AS bigint)) + 1 AS bigint)"
         "  FROM pk) AS n_sequences"
     )
+
+
+def gopher_multilingual_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 2000,
+    max_mean_word_len_milli: int = 12_000,
+    min_letter_word_milli: int = 800,
+    min_stopword_distinct: int = 2,
+) -> str:
+    """Mirror of operators.textstats.gopher_quality_multilingual_table
+    (profiles from the shared LANG_STOPWORDS constant; languages without
+    a profile exempt from the stopword rule, stopword_distinct = -1)."""
+    branches = " ".join(
+        "WHEN lang = '{code}' THEN cast(len(list_distinct(list_filter(lt, x -> x IN ({words})))) AS bigint)".format(
+            code=code, words=", ".join(f"'{w}'" for w in words)
+        )
+        for code, words in LANG_STOPWORDS.items()
+    )
+    mean_expr = "CASE WHEN n_words > 0 THEN floor(char_sum * 1000 / n_words) ELSE 0 END"
+    letter_expr = "CASE WHEN n_words > 0 THEN floor(letter_words * 1000 / n_words) ELSE 0 END"
+    return (
+        "WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents), "
+        "m AS (SELECT doc_id, lang,"
+        " cast(len(toks) AS bigint) AS n_words,"
+        " cast(list_sum(list_transform(toks, x -> length(x))) AS bigint) AS char_sum,"
+        " cast(len(list_filter(toks, x -> regexp_matches(x, '\\p{L}'))) AS bigint) AS letter_words,"
+        f" CASE {branches} ELSE NULL END AS sd"
+        " FROM (SELECT doc_id, lang, toks, list_transform(toks, x -> lower(x)) AS lt FROM t)) "
+        "SELECT doc_id, lang, n_words,"
+        f" cast({mean_expr} AS bigint) AS mean_word_len_milli,"
+        f" cast({letter_expr} AS bigint) AS letter_word_milli,"
+        " cast(coalesce(sd, -1) AS bigint) AS stopword_distinct,"
+        " cast(CASE WHEN"
+        f"  n_words >= {min_words} AND n_words <= {max_words}"
+        f"  AND ({mean_expr}) >= {min_mean_word_len_milli}"
+        f"  AND ({mean_expr}) <= {max_mean_word_len_milli}"
+        f"  AND ({letter_expr}) >= {min_letter_word_milli}"
+        f"  AND (sd IS NULL OR sd >= {min_stopword_distinct})"
+        " THEN 1 ELSE 0 END AS int) AS keep "
+        "FROM m"
+    )

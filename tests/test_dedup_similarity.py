@@ -545,3 +545,24 @@ def test_chunk_documents_windows(spark):
     # row-local: no Exchange in the plan
     plan = chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_multilingual_language_awareness(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        gopher_quality_multilingual_table,
+    )
+
+    fr = ("le chat et la maison dans le jardin pour que une belle " * 6).strip()  # 66 words
+    zh = (" ".join(["汉字词语" for _ in range(60)]))
+    df = spark.createDataFrame(
+        [(1, fr, "fr"), (2, zh, "zh"), (3, fr, "en")],
+        "doc_id int, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality_multilingual_table(df).collect()}
+    # French doc passes via its OWN profile
+    assert rows[1]["keep"] == 1 and rows[1]["stopword_distinct"] >= 2
+    # zh: no profile -> exempt from the stopword rule, letters count via \p{L}
+    assert rows[2]["stopword_distinct"] == -1
+    assert rows[2]["letter_word_milli"] == 1000 and rows[2]["keep"] == 1
+    # the same French text labelled en FAILS: no English stopwords in it
+    assert rows[3]["stopword_distinct"] < 2 and rows[3]["keep"] == 0
