@@ -55,11 +55,6 @@ _SCRIPT_RES: Tuple[re.Pattern, ...] = tuple(
     re.compile(f"[{chr(lo)}-{chr(hi)}]") for _code, lo, hi in SCRIPT_RANGES
 )
 
-# precomputed for the hot path (semantically identical to per-call sets)
-_STOPWORD_SETS: Tuple[Tuple[str, frozenset], ...] = tuple(
-    (code, frozenset(words)) for code, words in LANG_STOPWORDS.items()
-)
-
 # inverted index token → language codes claiming it: one dict probe per
 # distinct token instead of one set-membership test per language
 _STOPWORD_CODES: dict = {}

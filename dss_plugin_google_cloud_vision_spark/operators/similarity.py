@@ -5,12 +5,17 @@
   correctness baseline. One narrow pass over the table (the query vector is
   a literal/broadcast), then a global top-k (TakeOrderedAndProject — no
   full sort).
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH signatures
-  (hyperplanes derived deterministically from md5, so signatures are
-  reproducible across engines and runs); candidates = vectors sharing the
-  query's bucket in any band; exact cosine re-ranking only on candidates.
-  At 10^12 rows the bucket join prunes the candidate set by ~2^bits per
+- ``lsh_bucketed_topk``: random-hyperplane LSH signatures (hyperplanes
+  derived deterministically from md5, so signatures are reproducible
+  across engines and runs); candidates = vectors sharing the query's
+  bucket in any band; exact cosine re-ranking only on candidates. At
+  10^12 rows the bucket join prunes the candidate set by ~2^bits per
   band while brute force would scan everything.
+- ``ivf_topk``: IVF-flat — a k-means codebook TRAINED with deterministic
+  Lloyd iterations (``train_centroids``) assigns every vector a cell via
+  a VECTORIZED Arrow stage (``ivf_cell_udf`` — see its docstring for why
+  this beats a generated flat-dot expression); search scans only the
+  probed cells and ends in TakeOrderedAndProject.
 
 All cosine arithmetic is double-precision left-fold (deterministic IEEE
 order), and comparisons/outputs use micro-scaled integers so results hash
