@@ -374,3 +374,61 @@ def test_streaming_and_batch_dedup_mutually_resumable(spark, tmp_path):
     assert n == 3
     kept = {r["doc_id"] for r in spark.read.parquet(corpus_dir).collect()}
     assert kept == {1, 2, 11}
+
+
+def test_streaming_sessionize_across_dst_fall_back(spark, tmp_path):
+    """Event-time timeout across the America/New_York 2024-11-03 fall-back
+    (the repeated 01:00-02:00 wall hour): session bounds stay NTZ
+    wall-clock arithmetic, and the max()-folded watermark clock never
+    regresses, so sessions close exactly as in any other night."""
+    from datetime import datetime
+
+    from dss_plugin_google_cloud_vision_spark.streaming.sessionize import session_state_stream
+
+    schema = "event_id long, user_id long, ts timestamp_ntz"
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "closed")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).format("parquet").option("path", input_dir).load()
+        closed = session_state_stream(stream, gap_seconds=21600, event_time_timeout=True)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            closed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+
+    t = lambda h, m=0: datetime(2024, 11, 3, h, m)  # noqa: E731
+    original_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # events inside and across the repeated hour
+        write([(1, 1, t(0, 30)), (2, 1, t(1, 30)), (3, 1, t(2, 15))])
+        run()
+        write([(4, 1, t(12, 0))])  # > 6h NTZ gap after 02:15 -> closes session
+        run()
+        write([(5, 2, t(23, 0))])  # watermark far ahead -> flushes user 1's open session
+        run()
+        emitted = {
+            (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original_tz)
+    # 2024-11-03 00:00 as a UTC-interpreted NTZ epoch (session bounds are
+    # pure wall-clock micros, independent of the session timezone)
+    us = lambda h, m=0: (1730592000 + h * 3600 + m * 60) * 1_000_000  # noqa: E731
+    assert (1, 3, us(0, 30), us(2, 15)) in emitted
+    assert (1, 1, us(12), us(12)) in emitted
+    assert len(emitted) == 2
