@@ -942,6 +942,16 @@ def build_span_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-frequency scoring (integer-exact n-gram-LM
+    quality proxy): corpus P(b|a) in milli, per-document mean/min."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        bigram_predictability_table,
+    )
+
+    return bigram_predictability_table(_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-aware Gopher gate: Unicode-letter alpha rule, stopword
     presence checked against the document's OWN language profile
@@ -1385,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "web_curation_pipeline": q_web_curation,
         "gopher_multilingual": q_gopher_multilingual,
+        "bigram_predictability": q_bigram_predictability,
         "pii_redaction": q_pii_redaction,
         "repetition_stats": q_repetition_stats,
         "column_reorder": q_column_reorder,
@@ -1613,6 +1624,7 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": _oracles.token_rarity_sql(),
         "web_curation_pipeline": _oracles.web_curation_sql(),
         "gopher_multilingual": _oracles.gopher_multilingual_sql(),
+        "bigram_predictability": _oracles.bigram_predictability_sql(),
         "pii_redaction": _oracles.pii_redaction_sql(),
         "repetition_stats": _oracles.repetition_sql(),
         "session_stats": (

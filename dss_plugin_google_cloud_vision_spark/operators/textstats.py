@@ -400,3 +400,49 @@ def gopher_quality_multilingual_table(
         F.coalesce(stop_distinct, F.lit(-1)).cast("bigint").alias("stopword_distinct"),
         keep.cast("int").alias("keep"),
     )
+
+
+def bigram_predictability_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-predictability scoring — the integer-exact n-gram-LM quality
+    proxy one step past ``token_rarity_table``: for every adjacent token
+    pair (a, b), its corpus conditional frequency
+    ``floor(count(a b) * 1000 / count(a))`` (P(b|a) in milli), rolled up
+    per document as mean and min. Near-1000 means templated/repetitive
+    text; near-0 means token sequences the corpus has essentially never
+    seen (OCR noise, shuffled text).
+
+    Scale shape: one bigram explode (row-local pairing) → map-combined
+    bigram and unigram count tables (Zipf-small) → two hash joins → one
+    per-document rollup. All arithmetic integer. Documents with fewer
+    than two tokens drop out. Mirrored by
+    ``oracles.bigram_predictability_sql``.
+    """
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"), F.element_at(toks, i + 1).alias("b")
+        ),
+    )
+    occurrences = (
+        base.filter(F.size(toks) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("bg"))
+        .select(id_col, F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+    )
+    unigrams = base.select(F.explode(toks).alias("a")).groupBy("a").agg(
+        F.count("*").alias("ua")
+    )
+    bigrams = occurrences.groupBy("a", "b").agg(F.count("*").alias("ab"))
+    scored = (
+        occurrences.join(bigrams, ["a", "b"])
+        .join(unigrams, "a")
+        .select(F.col(id_col), F.floor(F.col("ab") * 1000 / F.col("ua")).alias("pred_milli"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.floor(F.sum("pred_milli") / F.count("*")).cast("bigint").alias("mean_pred_milli"),
+        F.min("pred_milli").cast("bigint").alias("min_pred_milli"),
+    )

@@ -994,3 +994,25 @@ def gopher_multilingual_sql(
         " THEN 1 ELSE 0 END AS int) AS keep "
         "FROM m"
     )
+
+
+def bigram_predictability_sql() -> str:
+    """Mirror of operators.textstats.bigram_predictability_table."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "occ AS ("
+        " SELECT doc_id, u.a AS a, u.b AS b FROM ("
+        "  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),"
+        "   i -> struct_pack(a := toks[i], b := toks[i+1]))) AS u"
+        "  FROM t WHERE len(toks) >= 2)), "
+        "uni AS (SELECT a, count(*) AS ua FROM (SELECT unnest(toks) AS a FROM t) GROUP BY a), "
+        "big AS (SELECT a, b, count(*) AS ab FROM occ GROUP BY a, b), "
+        "scored AS ("
+        " SELECT occ.doc_id, cast(floor(big.ab * 1000 / uni.ua) AS bigint) AS pred_milli"
+        " FROM occ JOIN big ON occ.a = big.a AND occ.b = big.b"
+        " JOIN uni ON occ.a = uni.a) "
+        "SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams, "
+        "cast(floor(sum(pred_milli) / count(*)) AS bigint) AS mean_pred_milli, "
+        "cast(min(pred_milli) AS bigint) AS min_pred_milli "
+        "FROM scored GROUP BY doc_id"
+    )

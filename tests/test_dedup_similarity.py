@@ -566,3 +566,25 @@ def test_gopher_multilingual_language_awareness(spark):
     assert rows[2]["letter_word_milli"] == 1000 and rows[2]["keep"] == 1
     # the same French text labelled en FAILS: no English stopwords in it
     assert rows[3]["stopword_distinct"] < 2 and rows[3]["keep"] == 0
+
+
+def test_bigram_predictability_semantics(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        bigram_predictability_table,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 'a b' 3x, 'b a' 2x; a appears 3x, b 3x
+            (2, "a b"),
+            (3, "x"),  # single token -> no bigrams -> dropped
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_predictability_table(df).collect()}
+    # corpus: count(a)=4, count(b)=4, count('a b')=4, count('b a')=2
+    # doc1 pred: ab->1000, ba->500, ab->1000, ba->500, ab->1000 (5 bigrams)
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["mean_pred_milli"] == 800 and out[1]["min_pred_milli"] == 500
+    assert out[2]["n_bigrams"] == 1 and out[2]["mean_pred_milli"] == 1000
+    assert 3 not in out
