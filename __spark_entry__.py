@@ -707,6 +707,26 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF as a PERSISTED index: corpus written hive-partitioned by its
+    trained cell, search reads only the probed cell directories
+    (partition pruning at the scan — the lake-native IVF form). Must
+    return exactly ivf_topk's rows, so the oracle is ivf_topk_sql
+    verbatim."""
+    import tempfile
+
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index_path = os.path.join(tempfile.mkdtemp(prefix="ivf_index_"), "index.parquet")
+    centroids = build_ivf_index(emb, index_path, n_centroids=16, train_iterations=2)
+    return search_ivf_index(spark, index_path, centroids, query, k=10, n_probe=4)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.similarity import ivf_topk
 
@@ -1370,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_index_search": q_ivf_index_search,
         "token_counts": q_token_counts,
         "quality_stats": q_quality_stats,
         "fingerprints": q_fingerprints,
@@ -1592,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _oracles.ann_topk_sql(),
         "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
         "ivf_topk": _oracles.ivf_topk_sql(),
+        "ivf_index_search": _oracles.ivf_topk_sql(),
         "token_counts": _oracles.token_count_sql(),
         "quality_stats": _oracles.quality_sql(),
         "fingerprints": _oracles.fingerprint_sql(),

@@ -349,3 +349,63 @@ def ivf_topk(
     top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def build_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    train_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> List[List[float]]:
+    """INGEST side of IVF: train the codebook, assign every vector its
+    cell (``assign_cells``), and persist the corpus hive-partitioned BY
+    CELL — the on-disk form of an IVF index in a lake: each cell is a
+    partition directory, so a search touching ``n_probe`` cells prunes
+    every other cell at the SCAN (PartitionFilters), reading
+    ~n_probe/n_centroids of the bytes. Returns the trained codebook (ship
+    it to searches exactly like a real IVF codebook artifact)."""
+    centroids = train_centroids(df, n_centroids, train_iterations, id_col, vec_col)
+    assign_cells(df, centroids, vec_col).write.mode("overwrite").partitionBy("cell").parquet(
+        index_path
+    )
+    return centroids
+
+
+def search_ivf_index(
+    spark,
+    index_path: str,
+    centroids: List[List[float]],
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEARCH side of IVF over a ``build_ivf_index`` table: probe the
+    query's ``n_probe`` nearest cells with a PARTITION-PRUNED scan (only
+    those cell directories are read — plan-asserted in tests), exact
+    cosine re-rank, TakeOrderedAndProject top-k. Identical results to
+    ``ivf_topk`` on the same corpus/codebook (same probe rule, same
+    left-fold arithmetic)."""
+    from pyspark.sql import Window
+
+    def fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    probe_order = sorted(
+        range(len(centroids)), key=lambda cid: (-fold_dot(query_vector, centroids[cid]), cid)
+    )
+    probes = sorted(probe_order[:n_probe])
+    query = F.array(*[F.lit(float(v)) for v in query_vector])
+    candidates = spark.read.parquet(index_path).filter(F.col("cell").isin(*probes))
+    rescored = candidates.select(
+        F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
+    )
+    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -134,3 +134,43 @@ def test_partitioned_scan_prunes_partitions(spark, tmp_path):
     files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
     assert files and all(("lang=en" in f or "lang=fr" in f) for f in files)
     assert scan.count() == 20
+
+
+def test_ivf_index_search_prunes_cell_partitions(spark, tmp_path):
+    """The persisted IVF index must prune at the SCAN: only the probed
+    cell directories are read (PartitionFilters on cell), and results
+    equal the in-memory ivf_topk on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        search_ivf_index,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)])
+            for i in range(120)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index_path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, index_path, n_centroids=8, train_iterations=1)
+    result = search_ivf_index(spark, index_path, centroids, query, k=5, n_probe=2)
+    plan = _plan(result)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got = [(r["vec_id"], r["cos_micro"]) for r in result.collect()]
+    want = [
+        (r["vec_id"], r["cos_micro"])
+        for r in ivf_topk(emb, query, k=5, n_centroids=8, n_probe=2, train_iterations=1).collect()
+    ]
+    assert got == want
+    # the index really is laid out one directory per cell (the structure
+    # PartitionFilters prunes; file-level pruning itself is proven by
+    # test_partitioned_scan_prunes_partitions on this layout)
+    import os
+
+    cell_dirs = [d for d in os.listdir(index_path) if d.startswith("cell=")]
+    assert len(cell_dirs) >= 2
