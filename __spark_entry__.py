@@ -75,6 +75,20 @@ def _cents(col: str):
     return F.round(F.col(col) * 100).cast("bigint")
 
 
+def _lazy_scratch_dir(prefix: str) -> str:
+    """Per-invocation scratch dir for write-then-read queries whose RESULT
+    DataFrame lazily scans the written path (so it cannot be reclaimed
+    before the driver collects): fresh mkdtemp per call — no fixed shared
+    path to clash on — reclaimed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -713,8 +727,6 @@ def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partition pruning at the scan — the lake-native IVF form). Must
     return exactly ivf_topk's rows, so the oracle is ivf_topk_sql
     verbatim."""
-    import tempfile
-
     from dss_plugin_google_cloud_vision_spark.operators.similarity import (
         build_ivf_index,
         search_ivf_index,
@@ -722,7 +734,7 @@ def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    index_path = os.path.join(tempfile.mkdtemp(prefix="ivf_index_"), "index.parquet")
+    index_path = os.path.join(_lazy_scratch_dir("ivf_index_"), "index.parquet")
     centroids = build_ivf_index(emb, index_path, n_centroids=16, train_iterations=2)
     return search_ivf_index(spark, index_path, centroids, query, k=10, n_probe=4)
 
@@ -885,12 +897,8 @@ def q_partitioned_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one multi-folder scan, and a two-partition filter must come back
     identical to the flat table (partition PRUNING is plan-asserted in
     tests/test_plan_quality.py)."""
-    import tempfile
-
     docs = _table(spark, sf_dir, "documents")
-    target = os.path.join(
-        tempfile.mkdtemp(prefix="oracle_partitioned_"), "docs.parquet"
-    )
+    target = os.path.join(_lazy_scratch_dir("oracle_partitioned_"), "docs.parquet")
     docs.write.mode("overwrite").partitionBy("lang").parquet(target)
     back = spark.read.parquet(target).filter(F.col("lang").isin("en", "fr"))
     return back.groupBy("lang").agg(
@@ -1288,14 +1296,18 @@ def q_column_descriptions_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    target = os.path.join(tempfile.gettempdir(), "oracle_sink_descriptions.parquet")
-    write_output(
-        docs,
-        target,
-        descriptions={"doc_id": "output id", "lang": "output lang", "text": "extracted text"},
-        input_descriptions={"lang": "input language wins", "n_chars": ""},
-    )
-    described = read_column_descriptions(spark, target)
+    # Per-invocation dir (a fixed shared path clashes under concurrent
+    # driver/bench runs and across users); the descriptions read is eager,
+    # so the dir can be reclaimed before returning.
+    with tempfile.TemporaryDirectory(prefix="oracle_sink_") as tmp:
+        target = os.path.join(tmp, "descriptions.parquet")
+        write_output(
+            docs,
+            target,
+            descriptions={"doc_id": "output id", "lang": "output lang", "text": "extracted text"},
+            input_descriptions={"lang": "input language wins", "n_chars": ""},
+        )
+        described = read_column_descriptions(spark, target)
     rows = sorted(described.items())
     return spark.createDataFrame(rows, "column_name string, description string")
 

@@ -131,6 +131,16 @@ def exact_dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str 
     return df.join(keepers, id_col, "left_semi")
 
 
+def _corpus_path_exists(spark, path: str) -> bool:
+    """Scheme-agnostic existence probe via the Hadoop FileSystem API (works
+    for local paths, HDFS, and object stores alike) — distinguishes
+    "corpus not yet created" from every other read failure."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
 def incremental_exact_dedup(
     spark,
     new_df: DataFrame,
@@ -151,12 +161,17 @@ def incremental_exact_dedup(
     opt-in (at 100 TB the count belongs in table metadata, not here).
 
     Call once per arriving increment; re-running on already-ingested data
-    is a no-op (every fingerprint already present)."""
+    is a no-op (every fingerprint already present).
+
+    Only a genuinely MISSING corpus path is treated as the first
+    increment: any other read failure (permissions, corrupt footer,
+    transient storage error) propagates — swallowing it would silently
+    skip the anti-join and re-admit duplicates."""
     fingerprinted = new_df.withColumn("_fp", F.md5(F.col(text_col)))
-    try:
+    if _corpus_path_exists(spark, output_path):
         seen = spark.read.parquet(output_path).select("_fp").distinct()
         fresh = fingerprinted.join(seen, "_fp", "left_anti")
-    except Exception:  # noqa: BLE001 — first increment: no corpus yet
+    else:  # first increment: no corpus yet
         fresh = fingerprinted
     keepers = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     surviving = fresh.join(keepers, [id_col, "_fp"], "left_semi")
@@ -833,13 +848,21 @@ def duplicate_span_removal(
         F.posexplode(toks).alias("idx0", "tok"),
         n.alias("n_tokens"),
     ).select(id_col, (F.col("idx0") + 1).alias("idx"), "tok", "n_tokens")
-    window_structs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(0))),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("wh"),
+    # Docs shorter than the window contribute NO windows. Guard like
+    # shingles_column: sequence(1, n-(w-1)) is DESCENDING (not empty) when
+    # n < w, and the transform would then evaluate slice(toks, 0, w) and
+    # abort the job (INVALID_PARAMETER_VALUE.START) — DuckDB's
+    # generate_series is empty there, so this is also an oracle divergence.
+    window_structs = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(1), n - (w - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("wh"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<pos:int,wh:string>>"))
     win = base.select(F.col(id_col), F.explode(window_structs).alias("s")).select(
         id_col, F.col("s.pos").alias("pos"), F.col("s.wh").alias("wh")
     )

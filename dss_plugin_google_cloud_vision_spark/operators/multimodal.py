@@ -205,7 +205,10 @@ def sample_video_frames(
     strict: bool = False,
 ) -> DataFrame:
     """Deterministic frame sampling, 1→N fan-out inside ``mapInPandas``
-    (same shape as the PDF page explode): emits one row per sampled frame.
+    (same shape as the PDF page explode): emits EXACTLY ``n_frames`` rows
+    per non-empty video on every path — a video with fewer source frames
+    than requested repeats frames (duplicate ``frame_index`` values), it
+    never silently under-emits. Empty payloads emit zero rows.
 
     AVI payloads sample REAL frames: an index walk over the ``movi`` list
     (``functions.video.avi_frame_offsets`` — no pixel decode, the way a
@@ -232,7 +235,12 @@ def sample_video_frames(
                 try:
                     offsets, _w, _h, _fps = avi_frame_offsets(data)
                     total = len(offsets)
-                    picks = np.unique((np.arange(n_frames, dtype=np.int64) * total) // n_frames)
+                    # exactly n_frames picks per video — videos with fewer
+                    # source frames than requested repeat frames (evenly
+                    # spaced positions collapse onto the same ordinal), so
+                    # the 1→n_frames fan-out contract matches the non-AVI
+                    # fallback path
+                    picks = (np.arange(n_frames, dtype=np.int64) * total) // n_frames
                     for src in picks:
                         keep_rows.append(pos)
                         frame_index.append(int(src))

@@ -15,6 +15,14 @@ in production by watermarking the source —
 the engine's tests drive the operator with AvailableNow over a static
 input (single ordered fold), then assert closed sessions equal the batch
 ``sessionize`` result minus each key's still-open final session.
+
+Checkpoint compatibility: ``STATE_SCHEMA`` grew a 4th field
+(``last_wm_us``) when event-time timeouts landed. ``_read_state`` tolerates
+a 3-tuple coming back (defaults the watermark clock to 0), but Spark's own
+state-store schema checker may reject a pre-upgrade checkpoint at the JVM
+layer before Python sees it — restarting an OLD checkpoint against this
+version may require a fresh ``checkpointLocation`` (open sessions in the
+old state are then lost; they re-open from their next event).
 """
 
 from __future__ import annotations
@@ -31,6 +39,18 @@ from ..operators.sessions import DEFAULT_GAP_SECONDS, epoch_micros
 STATE_SCHEMA = "start_us long, last_us long, n_events long, last_wm_us long"
 
 
+def _read_state(state: GroupState) -> Tuple[Any, Any, int, int]:
+    """Decode persisted state, tolerating the pre-``last_wm_us`` 3-field
+    layout: a checkpoint written before the schema grew its 4th field
+    decodes as a 3-tuple (or with a null 4th slot) — default the watermark
+    clock to 0 instead of failing the restart. (State written by THIS
+    version always carries 4 fields.)"""
+    values = tuple(state.get)
+    start_us, last_us, n_events = values[0], values[1], values[2]
+    last_wm_us = values[3] if len(values) > 3 and values[3] is not None else 0
+    return start_us, last_us, int(n_events), int(last_wm_us)
+
+
 def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
     gap_us = int(gap_seconds) * 1_000_000
 
@@ -43,7 +63,7 @@ def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
         if event_time_timeout and state.hasTimedOut:
             # idle flush: the watermark passed the open session's end + gap
             # with no new events for this key — close it and drop state
-            start_us, last_us, n_events, _last_wm = state.get
+            start_us, last_us, n_events, _last_wm = _read_state(state)
             state.remove()
             yield pd.DataFrame(
                 [(user_id, n_events, start_us, last_us)],
@@ -51,7 +71,7 @@ def _make_update_fn(gap_seconds: int, event_time_timeout: bool):
             )
             return
         if state.exists:
-            start_us, last_us, n_events, last_wm_us = state.get
+            start_us, last_us, n_events, last_wm_us = _read_state(state)
         else:
             start_us = last_us = None
             n_events = 0

@@ -3,6 +3,7 @@
 must be found; LSH must agree with brute force on this data; signatures are
 deterministic."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from dss_plugin_google_cloud_vision_spark.operators.dedup import (
@@ -111,6 +112,24 @@ def test_incremental_exact_dedup_across_runs(spark, tmp_path):
     # (no full-corpus count per increment — opt-in only)
     assert incremental_exact_dedup(spark, inc2, out) is None
     assert spark.read.parquet(out).count() == 3
+
+
+def test_incremental_exact_dedup_corrupt_corpus_raises(spark, tmp_path):
+    """A corpus path that EXISTS but cannot be read must raise, never be
+    silently treated as 'first increment' (that would skip the anti-join
+    and re-admit duplicates); only a genuinely missing path means first
+    increment."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import incremental_exact_dedup
+
+    corrupt = tmp_path / "corpus"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    inc = spark.createDataFrame([(1, "alpha")], "doc_id int, text string")
+    with pytest.raises(Exception) as excinfo:
+        incremental_exact_dedup(spark, inc, str(corrupt))
+    # the failure surfaces the real read error, and nothing was appended
+    assert "parquet" in str(excinfo.value).lower() or "footer" in str(excinfo.value).lower()
+    assert list(corrupt.iterdir()) == [corrupt / "part-00000.parquet"]
 
 
 def test_near_dup_clusters_chain(spark):
@@ -497,6 +516,28 @@ def test_duplicate_span_removal_semantics(spark):
     # groupBy carries only (hash, id, pos)
     plan = duplicate_span_removal(df, window_n=8)._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
+
+
+def test_duplicate_span_removal_short_docs(spark):
+    """Docs with fewer than window_n tokens contribute no windows and pass
+    through untouched (regression: sequence(1, n-(w-1)) is DESCENDING when
+    n < w, so the unguarded transform evaluated slice(toks, 0, w) and the
+    job aborted with INVALID_PARAMETER_VALUE.START)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import duplicate_span_removal
+
+    boiler = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, "tiny doc"),  # 2 tokens < window
+        (2, "a b c d e"),  # 5 tokens < window
+        (3, f"x y {boiler}"),
+        (4, f"p q {boiler}"),  # later copy -> boiler removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_removal(df, window_n=8).collect()}
+    assert out[1]["deduped_text"] == "tiny doc" and out[1]["n_tokens"] == 2
+    assert out[2]["deduped_text"] == "a b c d e"
+    assert out[3]["deduped_text"] == rows[2][1]
+    assert out[4]["deduped_text"] == "p q"
 
 
 def test_pack_sequences_two_phase_prefix_sum(spark):

@@ -84,6 +84,19 @@ def test_frame_sampling_fanout(spark):
 
     from dss_plugin_google_cloud_vision_spark.functions.imaging import decode_image
 
+    # a video with FEWER source frames than requested still emits exactly
+    # n_frames rows (frames repeat) — the fan-out contract is uniform
+    # across the AVI and fallback paths
+    import numpy as np
+
+    from dss_plugin_google_cloud_vision_spark.functions.video import encode_avi
+
+    two_frame = encode_avi(np.zeros((2, 4, 4, 3), dtype=np.uint8), fps=8)
+    short = spark.createDataFrame([(1, two_frame)], "media_id bigint, payload binary")
+    short_rows = sample_video_frames(short, n_frames=4).collect()
+    assert len(short_rows) == 4
+    assert sorted(r["frame_index"] for r in short_rows) == [0, 0, 1, 1]
+
     images = synthetic_media_df(spark, 9).filter(F.col("kind") == "image")
     resized = {r["media_id"]: r for r in resize_image(images, target_width=32, target_height=20).collect()}
     assert resized
