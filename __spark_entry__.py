@@ -980,6 +980,17 @@ def q_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_predictability_table(_table(spark, sf_dir, "documents"))
 
 
+def q_trigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram LM scoring (P(c|a,b) with bigram/unigram
+    backoff, fixed milli weights — integer-exact): per-document
+    mean/min interpolated score."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        trigram_predictability_table,
+    )
+
+    return trigram_predictability_table(_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-aware Gopher gate: Unicode-letter alpha rule, stopword
     presence checked against the document's OWN language profile
@@ -1230,6 +1241,56 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_table(docs)
 
 
+def q_extract_split_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both document-split branches (P3/M7/E1/E2) in ONE query: the PDF and
+    TIFF identity roundtrips union'd with a ``fmt`` discriminator — keeps
+    both format branches inside the driver's correctness window without two
+    dict slots."""
+    pdf = q_extract_pdf_identity(spark, sf_dir)
+    tiff = q_extract_tiff_identity(spark, sf_dir)
+    return pdf.select(F.lit("pdf").alias("fmt"), "*").unionByName(
+        tiff.select(F.lit("tiff").alias("fmt"), "*")
+    )
+
+
+def q_vision_formatters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+P8 in ONE query: the unsafe-likelihood and crop-hint formatters
+    are both 1:1 per-doc projections — joined on doc_id into a single wide
+    correctness surface (each side still runs through its real formatter)."""
+    return q_unsafe_likelihoods(spark, sf_dir).join(
+        q_crop_hints_formatter(spark, sf_dir), "doc_id"
+    )
+
+
+def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality signals + language-ID as ONE row-local
+    projection (they were three separate per-doc queries; all are
+    expressions over the same scan, so the merged form is also the plan a
+    real profiler would run — one pass, zero shuffles)."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        langid_detected_expr,
+        langid_hit_columns,
+        quality_columns,
+        regex_token_count,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    with_hits = docs.withColumns(langid_hit_columns())
+    qc = quality_columns()
+    return with_hits.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in qc.items()],
+        regex_token_count().cast("bigint").alias("n_regex_tokens"),
+        langid_detected_expr().alias("lang_detected"),
+    )
+
+
+def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + repetition signal as ONE per-doc surface (both keyed
+    1:1 on doc_id; each runs its own planted corpus exactly as before)."""
+    return q_pii_redaction(spark, sf_dir).join(q_repetition_stats(spark, sf_dir), "doc_id")
+
+
 def q_column_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 column reorder as a constant-shape roundtrip: a deliberately
     scrambled column layout is normalized by move_api_columns_to_end under
@@ -1312,44 +1373,16 @@ def q_column_descriptions_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, description string")
 
 
-# --- rows-only entries (non-SQL-expressible; driver records a weaker
-# rows-only check, pytest carries the strong assertions) ---
-
-
-def q_extract_generated_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full synthetic-corpus extraction (HTML + multi-page PDF + error
-    rows, Python datagen → not SQL-expressible): per-url doc md5 — the
-    byte-identity surface over every payload kind. Strong assertions live
-    in tests/ (frozen goldens); the driver sees rows + stable schema."""
-    from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages_typed
-    from dss_plugin_google_cloud_vision_spark.sources.pages import PAGE_SEPARATOR, pages_df
-
-    _ensure_workers_can_import(spark)
-    pages = pages_df(spark, 512, partitions=8)
-    typed = extract_pages_typed(pages)
-    ordered = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.coalesce(F.col("page_number"), F.lit(0)).alias("pn"),
-                F.coalesce(F.col("extracted_text"), F.lit("")).alias("t"),
-            )
-        )
-    )
-    return typed.groupBy("url").agg(
-        F.md5(F.array_join(F.transform(ordered, lambda s: s["t"]), PAGE_SEPARATOR)).alias("doc_md5"),
-        F.count("*").alias("n_pages"),
-        F.max(F.col("error_type")).alias("error_type"),
-    )
-
-
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal surface (binary payload → feature vector via
     mapInPandas): ALL THREE modalities REAL-decoded — images (PNG/PPM
     pixel histograms, functions/imaging.py), audio (PCM WAV sample
     histograms, functions/audio.py), video (RGB24 AVI frame-pixel
     histograms, functions/video.py); the planted undecodable video rows
-    land in feature_error. Python codecs — not SQL-expressible,
-    rows-only check."""
+    land in feature_error. The oracle (``oracles.media_features_sql``)
+    recomputes the decoded histograms ANALYTICALLY from the generation
+    formulas — an exact end-to-end check of encode → decode → featurize.
+    Micro values replicate numpy's arithmetic order: round((cnt/size)*1e6)."""
     from dss_plugin_google_cloud_vision_spark.operators.multimodal import (
         extract_media_features,
         synthetic_media_df,
@@ -1358,32 +1391,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_workers_can_import(spark)
     media = synthetic_media_df(spark, 96)
     out = extract_media_features(media)
+    feats = F.col("features")
     return out.select(
         "media_id",
         "kind",
-        F.round(F.element_at("features", 1) * 1000000).cast("bigint").alias("f0_micro"),
-        F.size("features").alias("n_bins"),
-        "feature_error",
+        F.round(F.element_at(feats, 1) * 1000000).cast("bigint").alias("f0_micro"),
+        F.round(F.element_at(feats, 7) * 1000000).cast("bigint").alias("f6_micro"),
+        F.when(feats.isNotNull(), F.size(feats)).alias("n_bins"),
+        (F.length("feature_error") > 0).cast("int").alias("error_flag"),
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is part of the driver contract: the round driver's
+    correctness gate covers the FIRST 50 entries, so exactly one
+    representative of every operator family sits inside that window
+    (consolidated where 1:1 per-doc surfaces could merge); entries past 50
+    are redundant variants of families already covered — still checked by
+    ``tools/check_oracle.py``, just not by the driver's hard signal."""
     return {
+        # --- reference-surface families (extraction, formatters, sinks) ---
         "extract_text_identity": q_extract_text_identity,
         "extract_error_metrics": q_extract_error_metrics,
-        "extract_lang_chars": q_extract_lang_chars,
-        "doc_merge_roundtrip": q_doc_merge_roundtrip,
-        "extract_pdf_identity": q_extract_pdf_identity,
-        "extract_tiff_identity": q_extract_tiff_identity,
+        "extract_split_identity": q_extract_split_identity,
+        "merge_collect": q_merge_collect,
         "topk_per_group": q_topk_per_group,
         "argmax_supplier": q_argmax_supplier,
         "extension_filter": q_extension_filter,
-        "shipping_priority": q_shipping_priority,
-        "anti_join_resume": q_anti_join_resume,
-        "merge_collect": q_merge_collect,
         "text_formatter_roundtrip": q_text_formatter_roundtrip,
-        "unsafe_likelihoods": q_unsafe_likelihoods,
-        "crop_hints_formatter": q_crop_hints_formatter,
+        "vision_formatters": q_vision_formatters,
         "web_blocklist_formatter": q_web_blocklist_formatter,
         "annotated_spans": q_annotated_spans,
         "span_envelope": q_span_envelope,
@@ -1392,51 +1428,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_naming_collision": q_unique_naming_collision,
         "min_score_filter": q_min_score_filter,
         "content_topk_formatter": q_content_topk_formatter,
+        "column_reorder": q_column_reorder,
+        "param_validation_echo": q_param_validation_echo,
+        "column_descriptions_sink": q_column_descriptions_sink,
+        "partitioned_pruned_scan": q_partitioned_pruned_scan,
+        "split_empty_guard": q_split_empty_guard,
+        "politeness_slots": q_politeness_slots,
+        "skew_two_phase": q_skew_two_phase,
+        # --- dedup / similarity families ---
         "exact_dedup": q_exact_dedup,
         "minhash_candidates": q_minhash_candidates,
         "near_dup_pairs": q_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
-        "ann_topk": q_ann_topk,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "ivf_index_search": q_ivf_index_search,
-        "token_counts": q_token_counts,
-        "quality_stats": q_quality_stats,
-        "fingerprints": q_fingerprints,
-        "session_stats": q_session_stats,
-        "langid_stopword": q_langid_stopword,
-        "event_windows": q_event_windows,
-        "training_pipeline": q_training_pipeline,
-        "curation_pipeline": q_curation_pipeline,
-        "skew_two_phase": q_skew_two_phase,
-        "politeness_slots": q_politeness_slots,
-        "partitioned_pruned_scan": q_partitioned_pruned_scan,
-        "split_empty_guard": q_split_empty_guard,
         "paragraph_dedup": q_paragraph_dedup,
-        "ngram_contamination": q_ngram_contamination,
-        "incremental_near_dup": q_incremental_near_dup,
-        "url_canonicalize": q_url_canonicalize,
-        "gopher_quality": q_gopher_quality,
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
-        "hot_bucket_report": q_hot_bucket_report,
+        "ngram_contamination": q_ngram_contamination,
+        "incremental_near_dup": q_incremental_near_dup,
+        "ann_topk": q_ann_topk,
+        "ivf_index_search": q_ivf_index_search,
+        # --- text-analysis / pipeline families ---
+        "text_quality_profile": q_text_quality_profile,
+        "fingerprints": q_fingerprints,
+        "gopher_quality": q_gopher_quality,
+        "token_rarity": q_token_rarity,
+        "trigram_predictability": q_trigram_predictability,
+        "doc_signals": q_doc_signals,
+        "url_canonicalize": q_url_canonicalize,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
-        "token_rarity": q_token_rarity,
+        "session_stats": q_session_stats,
+        "event_windows": q_event_windows,
         "web_curation_pipeline": q_web_curation,
+        "media_features": q_media_features,
+        # ---- driver window ends here (50) — variants below ----
+        "extract_lang_chars": q_extract_lang_chars,
+        "doc_merge_roundtrip": q_doc_merge_roundtrip,
+        "shipping_priority": q_shipping_priority,
+        "anti_join_resume": q_anti_join_resume,
+        "simhash": q_simhash,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "hot_bucket_report": q_hot_bucket_report,
+        "training_pipeline": q_training_pipeline,
+        "curation_pipeline": q_curation_pipeline,
         "gopher_multilingual": q_gopher_multilingual,
         "bigram_predictability": q_bigram_predictability,
-        "pii_redaction": q_pii_redaction,
-        "repetition_stats": q_repetition_stats,
-        "column_reorder": q_column_reorder,
-        "param_validation_echo": q_param_validation_echo,
-        "column_descriptions_sink": q_column_descriptions_sink,
-        # rows-only (no oracle entry): non-SQL-expressible surfaces
-        "extract_generated_pages": q_extract_generated_pages,
-        "media_features": q_media_features,
     }
 
 
@@ -1465,7 +1504,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_merge_roundtrip": (
             "SELECT doc_id, 1 AS page_count, text AS doc_text FROM documents"
         ),
-        "extract_pdf_identity": (
+        "extract_split_identity": (
+            "SELECT 'pdf' AS fmt, * FROM ("
             "SELECT doc_id, 2 AS page_count, "
             "array_to_string(toks[1:n1], ' ') || chr(10) || "
             "array_to_string(toks[n1+1:n1+n2], ' ') || chr(12) || "
@@ -1474,16 +1514,16 @@ def oracle_sql() -> dict[str, str]:
             " len(string_split(text, ' ')) AS n, "
             " cast(floor(len(string_split(text, ' ')) / 3) AS int) AS n1, "
             " cast(floor(len(string_split(text, ' ')) / 3) AS int) AS n2 "
-            " FROM documents)"
-        ),
-        "extract_tiff_identity": (
+            " FROM documents)) "
+            "UNION ALL "
+            "SELECT 'tiff' AS fmt, * FROM ("
             "SELECT doc_id, 2 AS page_count, "
             "array_to_string(toks[1:n1], ' ') || chr(12) || "
             "array_to_string(toks[n1+1:n], ' ') AS extracted_text "
             "FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
             " len(string_split(text, ' ')) AS n, "
             " cast(floor(len(string_split(text, ' ')) / 2) AS int) AS n1 "
-            " FROM documents)"
+            " FROM documents))"
         ),
         "topk_per_group": (
             "SELECT l_returnflag, l_orderkey, l_linenumber, "
@@ -1542,20 +1582,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, cast(round(value * 1000) AS bigint) AS value_milli "
             "FROM events WHERE value >= 0.5"
         ),
-        "unsafe_likelihoods": (
+        "vision_formatters": (
             "SELECT doc_id, "
             + ", ".join(
                 "(['VERY_UNLIKELY','UNLIKELY','POSSIBLE','LIKELY','VERY_LIKELY'])"
                 f"[cast((doc_id + {i}) % 5 AS int) + 1] AS {cat}_likelihood"
                 for i, cat in enumerate(("adult", "spoof", "medical", "violence", "racy"))
             )
-            + " FROM documents"
-        ),
-        "crop_hints_formatter": (
-            "SELECT doc_id, "
-            "cast(round(cast(doc_id % 100 AS double) / 100.0 * 1000000) AS bigint) AS score_micro, "
-            "cast(round(cast(doc_id % 37 AS double) / 37.0 * 1000000) AS bigint) AS importance_micro "
-            "FROM documents"
+            + ", cast(round(cast(doc_id % 100 AS double) / 100.0 * 1000000) AS bigint) AS score_micro"
+            ", cast(round(cast(doc_id % 37 AS double) / 37.0 * 1000000) AS bigint) AS importance_micro"
+            " FROM documents"
         ),
         "web_blocklist_formatter": (
             "SELECT doc_id, 'lbl' || cast(doc_id % 7 AS varchar) AS web_label, "
@@ -1626,10 +1662,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
         "ivf_topk": _oracles.ivf_topk_sql(),
         "ivf_index_search": _oracles.ivf_topk_sql(),
-        "token_counts": _oracles.token_count_sql(),
-        "quality_stats": _oracles.quality_sql(),
+        "text_quality_profile": _oracles.text_quality_profile_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
-        "langid_stopword": _oracles.langid_sql(),
         "partitioned_pruned_scan": (
             "SELECT lang, count(*) AS n_docs, cast(sum(n_chars) AS bigint) AS total_chars "
             "FROM documents WHERE lang IN ('en', 'fr') GROUP BY lang"
@@ -1659,8 +1693,9 @@ def oracle_sql() -> dict[str, str]:
         "web_curation_pipeline": _oracles.web_curation_sql(),
         "gopher_multilingual": _oracles.gopher_multilingual_sql(),
         "bigram_predictability": _oracles.bigram_predictability_sql(),
-        "pii_redaction": _oracles.pii_redaction_sql(),
-        "repetition_stats": _oracles.repetition_sql(),
+        "trigram_predictability": _oracles.trigram_predictability_sql(),
+        "doc_signals": _oracles.doc_signals_sql(),
+        "media_features": _oracles.media_features_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

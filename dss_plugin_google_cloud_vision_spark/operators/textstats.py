@@ -141,25 +141,26 @@ def langid_hit_columns(text_col: str = "text") -> Dict[str, Column]:
     }
 
 
-def langid_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Relational language ID: argmax of stopword hits across the fixed
-    profiles, '' when nothing matches; ties break by profile order
-    (LANG_STOPWORDS insertion order) — same rule as the kernel langid.
-
-    Hit counts are materialized as columns FIRST, then the argmax is a
-    chain of whens over plain column references — a naive inline chain
-    duplicates every hits subtree into each branch (expression-tree blowup:
-    ~100x slower measured at sf0.1)."""
-    hits = langid_hit_columns(text_col)
-    with_hits = df.withColumns(hits)
-    best = F.greatest(*[F.col(name) for name in hits])
+def langid_detected_expr() -> Column:
+    """Argmax-of-stopword-hits language code over the MATERIALIZED
+    ``_hits_<code>`` columns (``langid_hit_columns``); '' when nothing
+    matches; ties break by profile order (LANG_STOPWORDS insertion order) —
+    same rule as the kernel langid. The hits MUST be plain column
+    references: a naive inline chain duplicates every hits subtree into
+    each branch (expression-tree blowup: ~100x slower measured at sf0.1)."""
+    best = F.greatest(*[F.col(f"_hits_{code}") for code in LANG_STOPWORDS])
     expr: Column = F.lit("")
     # build the CASE from the LAST profile backwards so evaluation order is
     # first-profile-wins, matching the kernel's tie-break
     for code in reversed(list(LANG_STOPWORDS)):
         expr = F.when(F.col(f"_hits_{code}") == best, F.lit(code)).otherwise(expr)
-    expr = F.when(best == 0, F.lit("")).otherwise(expr)
-    return with_hits.select(F.col(id_col), expr.alias("lang_detected"))
+    return F.when(best == 0, F.lit("")).otherwise(expr)
+
+
+def langid_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Relational language ID: see ``langid_detected_expr`` for the rule."""
+    with_hits = df.withColumns(langid_hit_columns(text_col))
+    return with_hits.select(F.col(id_col), langid_detected_expr().alias("lang_detected"))
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +301,39 @@ def gopher_quality_table(
     )
 
 
+# Hot-vocabulary head size for the skew-safe score joins: the top-K rows
+# of a Zipf-distributed score table carry the overwhelming majority of
+# OCCURRENCE mass ("the" alone is ~5% of English tokens), so broadcasting
+# them resolves the hot keys map-side and only the flat tail ever shuffles.
+SCORE_JOIN_HEAD_K = 8192
+
+
+def skew_safe_score_join(
+    weighted: DataFrame,
+    score_table: DataFrame,
+    keys: list,
+    count_col: str,
+    top_k: int = SCORE_JOIN_HEAD_K,
+) -> DataFrame:
+    """Join per-(doc, key) weighted occurrence rows to a Zipf-distributed
+    score table WITHOUT shuffling the hot keys: the ``top_k`` hottest score
+    rows (by ``count_col``, deterministic key tie-break) are broadcast and
+    probed map-side; rows that miss the head shuffle-join the anti-joined
+    tail — whose keys are near-uniform by construction, so the shuffle has
+    no skewed partition left. Exact same rows as a plain join.
+
+    The caller should pre-aggregate occurrences to (doc, key) grain first
+    (map-combinable, skew-free key) so the head/miss branches sit above a
+    reusable Exchange rather than re-scanning the source."""
+    head = score_table.orderBy(F.desc(count_col), *keys).limit(top_k)
+    tail = score_table.join(F.broadcast(head.select(*keys)), keys, "left_anti")
+    score_cols = [c for c in score_table.columns if c not in keys]
+    probed = weighted.join(F.broadcast(head), keys, "left")
+    hit = probed.filter(F.col(count_col).isNotNull())
+    miss = probed.filter(F.col(count_col).isNull()).drop(*score_cols)
+    return hit.unionByName(miss.join(tail, keys).select(*probed.columns))
+
+
 def token_rarity_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -312,8 +346,19 @@ def token_rarity_table(
 
     Scale shape: one token explode feeding a map-combined
     ``groupBy(token).count()`` (the vocabulary table — Zipf-small next to
-    the corpus), a shuffle join of token occurrences to their frequency,
-    and a map-collapsing per-document aggregate. All arithmetic integer.
+    the corpus), a join of token occurrences to their frequency, and a
+    map-collapsing per-document aggregate. All arithmetic integer.
+
+    Skew note (PLANS.md "Zipf-token score joins"): the occurrence→vocab
+    join key is Zipf-distributed ("the" ≈ 5% of occurrence rows on one
+    key). The build side is ONE row per token, so AQE skew-join splitting
+    (``spark.sql.adaptive.skewJoin.enabled``, pinned by ``session.
+    get_spark``) splits the hot probe partition at runtime with no
+    build-side duplication cost — measured A/B, the explicit broadcast-
+    head/tail rewrite (``skew_safe_score_join``, used by the trigram
+    scorer) costs a constant ~0.2s of extra stages at bench scale while
+    AQE needs none, so this operator keeps the plain join and the
+    documented AQE reliance.
 
     Output: id, n_tokens, min_token_freq (the rarest token's corpus
     count), mean_token_freq_milli (floor(sum(freq)*1000 / n_tokens)).
@@ -418,6 +463,11 @@ def bigram_predictability_table(
     per-document rollup. All arithmetic integer. Documents with fewer
     than two tokens drop out. Mirrored by
     ``oracles.bigram_predictability_sql``.
+
+    Skew note: same AQE skew-join reliance as ``token_rarity_table``
+    (PLANS.md "Zipf-token score joins") — hot "of the"-class keys are
+    split at runtime; the explicit broadcast-head rewrite measured as a
+    net constant cost at bench scale.
     """
     base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
     toks = F.col("_toks")
@@ -445,4 +495,111 @@ def bigram_predictability_table(
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.floor(F.sum("pred_milli") / F.count("*")).cast("bigint").alias("mean_pred_milli"),
         F.min("pred_milli").cast("bigint").alias("min_pred_milli"),
+    )
+
+
+# Interpolation weights (milli) for the trigram LM score: lambda3 * P(c|ab)
+# + lambda2 * P(c|b) + lambda1 * P(c). Fixed Jelinek-Mercer-style weights
+# keep the arithmetic integer-exact (no EM fitting, which a quality gate
+# does not need).
+TRIGRAM_INTERP_WEIGHTS = (500, 300, 200)
+
+
+def trigram_predictability_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Interpolated trigram LM scoring — the next step past
+    ``bigram_predictability_table``: every adjacent token triple (a, b, c)
+    scores ``floor((l3*P3 + l2*P2 + l1*P1) / 1000)`` where (in milli,
+    floor-divided, all integer-exact)
+
+    - P3 = floor(1000 * count(a b c) / count(a b))   (trigram conditional)
+    - P2 = floor(1000 * count(b c) / count(b))       (bigram backoff)
+    - P1 = floor(1000 * count(c) / corpus_tokens)    (unigram backoff)
+
+    rolled up per document as mean and min. The backoff terms mean a
+    triple the corpus has never seen in full still scores by its shorter
+    suffixes — the standard interpolated-LM shape (Jelinek-Mercer with
+    fixed weights).
+
+    Scale shape: ALL probability arithmetic happens at vocabulary grain —
+    the trigram score table is built by joining the trigram/bigram/unigram
+    count tables (each map-combined and Zipf-small) plus a broadcast
+    1-row corpus total; occurrences pre-aggregate to (doc, a, b, c) grain
+    and resolve via ``skew_safe_score_join`` (hot triples broadcast, flat
+    tail shuffles). Documents with fewer than three tokens drop out.
+    Mirrored by ``oracles.trigram_predictability_sql``.
+    """
+    w3, w2, w1 = TRIGRAM_INTERP_WEIGHTS
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    triples = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+            F.element_at(toks, i + 2).alias("c"),
+        ),
+    )
+    occurrences = (
+        base.filter(F.size(toks) >= 3)
+        .select(F.col(id_col), F.explode(triples).alias("tg"))
+        .select(id_col, "tg.a", "tg.b", "tg.c")
+    )
+    unigrams = base.select(F.explode(toks).alias("tok")).groupBy("tok").agg(
+        F.count("*").alias("u")
+    )
+    total = unigrams.agg(F.sum("u").alias("corpus_tokens"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("x"), F.element_at(toks, i + 1).alias("y")
+        ),
+    )
+    bigram_counts = (
+        base.filter(F.size(toks) >= 2)
+        .select(F.explode(pairs).alias("bg"))
+        .groupBy("bg.x", "bg.y")
+        .agg(F.count("*").alias("xy"))
+    )
+    trigram_counts = occurrences.groupBy("a", "b", "c").agg(F.count("*").alias("abc"))
+    score_table = (
+        trigram_counts.join(
+            bigram_counts.select(
+                F.col("x").alias("a"), F.col("y").alias("b"), F.col("xy").alias("ab")
+            ),
+            ["a", "b"],
+        )
+        .join(
+            bigram_counts.select(
+                F.col("x").alias("b"), F.col("y").alias("c"), F.col("xy").alias("bc")
+            ),
+            ["b", "c"],
+        )
+        .join(unigrams.select(F.col("tok").alias("b"), F.col("u").alias("ub")), "b")
+        .join(unigrams.select(F.col("tok").alias("c"), F.col("u").alias("uc")), "c")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "c",
+            "abc",
+            F.floor(
+                (
+                    w3 * F.floor(F.col("abc") * 1000 / F.col("ab"))
+                    + w2 * F.floor(F.col("bc") * 1000 / F.col("ub"))
+                    + w1 * F.floor(F.col("uc") * 1000 / F.col("corpus_tokens"))
+                )
+                / 1000
+            ).alias("interp_milli"),
+        )
+    )
+    weighted = occurrences.groupBy(id_col, "a", "b", "c").agg(F.count("*").alias("n"))
+    scored = skew_safe_score_join(weighted, score_table, ["a", "b", "c"], "abc")
+    return scored.groupBy(id_col).agg(
+        F.sum("n").cast("bigint").alias("n_trigrams"),
+        F.floor(F.sum(F.col("n") * F.col("interp_milli")) / F.sum("n"))
+        .cast("bigint")
+        .alias("mean_interp_milli"),
+        F.min("interp_milli").cast("bigint").alias("min_interp_milli"),
     )

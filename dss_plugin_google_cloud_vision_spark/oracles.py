@@ -1016,3 +1016,131 @@ def bigram_predictability_sql() -> str:
         "cast(min(pred_milli) AS bigint) AS min_pred_milli "
         "FROM scored GROUP BY doc_id"
     )
+
+
+def trigram_predictability_sql() -> str:
+    """Mirror of operators.textstats.trigram_predictability_table (the
+    interpolated trigram LM score, fixed milli weights). CTEs referenced
+    more than once are MATERIALIZED — DuckDB inlines (recomputes) plain
+    CTEs per reference."""
+    from .operators.textstats import TRIGRAM_INTERP_WEIGHTS
+
+    w3, w2, w1 = TRIGRAM_INTERP_WEIGHTS
+    return (
+        "WITH t AS MATERIALIZED ("
+        " SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "occ AS MATERIALIZED ("
+        " SELECT doc_id, u.a AS a, u.b AS b, u.c AS c FROM ("
+        "  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),"
+        "   i -> struct_pack(a := toks[i], b := toks[i+1], c := toks[i+2]))) AS u"
+        "  FROM t WHERE len(toks) >= 3)), "
+        "uni AS MATERIALIZED ("
+        " SELECT tok, count(*) AS u FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok), "
+        "tot AS (SELECT cast(sum(u) AS bigint) AS corpus_tokens FROM uni), "
+        "big AS MATERIALIZED ("
+        " SELECT x, y, count(*) AS xy FROM ("
+        "  SELECT u.x AS x, u.y AS y FROM ("
+        "   SELECT unnest(list_transform(generate_series(1, len(toks) - 1),"
+        "    i -> struct_pack(x := toks[i], y := toks[i+1]))) AS u"
+        "   FROM t WHERE len(toks) >= 2)) GROUP BY x, y), "
+        "tri AS (SELECT a, b, c, count(*) AS abc FROM occ GROUP BY a, b, c), "
+        "score AS ("
+        " SELECT tri.a, tri.b, tri.c, cast(floor(("
+        f"  {w3} * floor(tri.abc * 1000 / ab.xy)"
+        f"  + {w2} * floor(bc.xy * 1000 / ub.u)"
+        f"  + {w1} * floor(uc.u * 1000 / tot.corpus_tokens)"
+        " ) / 1000) AS bigint) AS interp_milli"
+        " FROM tri"
+        " JOIN big ab ON ab.x = tri.a AND ab.y = tri.b"
+        " JOIN big bc ON bc.x = tri.b AND bc.y = tri.c"
+        " JOIN uni ub ON ub.tok = tri.b"
+        " JOIN uni uc ON uc.tok = tri.c"
+        " CROSS JOIN tot), "
+        "scored AS ("
+        " SELECT occ.doc_id, s.interp_milli FROM occ"
+        " JOIN score s ON occ.a = s.a AND occ.b = s.b AND occ.c = s.c) "
+        "SELECT doc_id, cast(count(*) AS bigint) AS n_trigrams, "
+        "cast(floor(sum(interp_milli) / count(*)) AS bigint) AS mean_interp_milli, "
+        "cast(min(interp_milli) AS bigint) AS min_interp_milli "
+        "FROM scored GROUP BY doc_id"
+    )
+
+
+def text_quality_profile_sql() -> str:
+    """Mirror of q_text_quality_profile: the three per-doc profiling
+    surfaces (quality signals, regex token count, language ID) joined 1:1
+    on doc_id."""
+    return (
+        f"SELECT q.*, t.n_regex_tokens, l.lang_detected "
+        f"FROM ({quality_sql()}) q "
+        f"JOIN ({token_count_sql()}) t ON q.doc_id = t.doc_id "
+        f"JOIN ({langid_sql()}) l ON q.doc_id = l.doc_id"
+    )
+
+
+def doc_signals_sql() -> str:
+    """Mirror of q_doc_signals: PII redaction + repetition signal joined
+    1:1 on doc_id (each over its own planted corpus, as before)."""
+    return (
+        "SELECT p.doc_id, p.redacted, p.n_url, p.n_email, p.n_phone, "
+        "r.n_bigrams, r.top_bigram_n, r.rep_milli "
+        f"FROM ({pii_redaction_sql()}) p "
+        f"JOIN ({repetition_sql()}) r ON p.doc_id = r.doc_id"
+    )
+
+
+def media_features_sql(n_rows: int = 96, seed: int = 42) -> str:
+    """ANALYTIC mirror of q_media_features: the synthetic media payloads
+    (operators.multimodal.synthetic_media_df) are pure integer functions of
+    (seed, media_id), and the codecs are exact roundtrips — so the decoded
+    pixel/sample/frame histograms can be recomputed in SQL from the
+    generation formulas alone (generate_series, no binary columns).
+    Histogram: numpy np.histogram(range=(0,256), bins=16) == value // 16.
+    The normalized micro values replicate numpy's arithmetic ORDER:
+    round((cnt/size) * 1e6), never round(cnt*1e6/size) (CLAUDE.md
+    cross-engine double rule). Audio: int16 chirp -> //2 -> (s+32768)>>8
+    byte domain. Every 15th video row is the planted undecodable blob:
+    NULL features, error_flag 1."""
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_rows} - 1)) AS i),
+imgs AS (
+  SELECT i, 16 + (i % 6) * 4 AS h, 24 + (i % 8) * 4 AS w
+  FROM ids WHERE i % 3 = 0),
+img_vals AS (
+  SELECT i, unnest(flatten(flatten(
+    list_transform(generate_series(0, h - 1), y ->
+      list_transform(generate_series(0, w - 1), x ->
+        list_transform([0, 1, 2], c ->
+          ({seed} + i * 31 + y * 7 + x * 3 + c * 11) % 256)))))) AS v
+  FROM imgs),
+aud_vals AS (
+  SELECT i, unnest(list_transform(generate_series(0, 2047), t ->
+    cast(floor((cast(floor((((t * (31 + (i % 13)) + {seed}) % 65536) - 32768) / 2.0)
+      AS bigint) + 32768) / 256.0) AS bigint))) AS v
+  FROM ids WHERE i % 3 = 1),
+vids AS (
+  SELECT i, 16 + (i % 6) * 4 AS h, 24 + (i % 8) * 4 AS w, 4 + (i % 4) AS nf
+  FROM ids WHERE i % 3 = 2 AND i % 15 <> 14),
+vid_vals AS (
+  SELECT i, unnest(flatten(flatten(flatten(
+    list_transform(generate_series(0, nf - 1), f ->
+      list_transform(generate_series(0, h - 1), y ->
+        list_transform(generate_series(0, w - 1), x ->
+          list_transform([0, 1, 2], c ->
+            ({seed} + i * 31 + y * 7 + x * 3 + c * 11 + f * 17) % 256)))))))) AS v
+  FROM vids),
+all_vals AS (
+  SELECT * FROM img_vals UNION ALL SELECT * FROM aud_vals UNION ALL SELECT * FROM vid_vals),
+hist AS (
+  SELECT i, count(*) AS n,
+    count(*) FILTER (WHERE cast(floor(v / 16.0) AS bigint) = 0) AS c0,
+    count(*) FILTER (WHERE cast(floor(v / 16.0) AS bigint) = 6) AS c6
+  FROM all_vals GROUP BY i)
+SELECT ids.i AS media_id,
+  (['image', 'audio', 'video'])[cast(ids.i % 3 AS int) + 1] AS kind,
+  cast(round((cast(h.c0 AS double) / cast(h.n AS double)) * 1000000.0) AS bigint) AS f0_micro,
+  cast(round((cast(h.c6 AS double) / cast(h.n AS double)) * 1000000.0) AS bigint) AS f6_micro,
+  CASE WHEN h.i IS NOT NULL THEN 16 END AS n_bins,
+  CASE WHEN h.i IS NULL THEN 1 ELSE 0 END AS error_flag
+FROM ids LEFT JOIN hist h ON h.i = ids.i
+"""

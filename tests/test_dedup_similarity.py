@@ -629,3 +629,47 @@ def test_bigram_predictability_semantics(spark):
     assert out[1]["mean_pred_milli"] == 800 and out[1]["min_pred_milli"] == 500
     assert out[2]["n_bigrams"] == 1 and out[2]["mean_pred_milli"] == 1000
     assert 3 not in out
+
+
+def test_trigram_predictability_semantics(spark):
+    """Hand-computed interpolated trigram scores (w = 500/300/200 milli):
+    corpus u(a)=u(b)=u(c)=3, total=11, ab=3, bc=3, ca=1, abc=3, bca=1,
+    cab=1."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        trigram_predictability_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "x y")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in trigram_predictability_table(df).collect()}
+    # abc: floor((500*1000 + 300*1000 + 200*floor(3000/11))/1000) = 854
+    # bca: floor((500*333 + 300*333 + 200*272)/1000) = 320
+    # cab: same as abc by symmetry = 854
+    assert out[1]["n_trigrams"] == 4
+    assert out[1]["mean_interp_milli"] == 720  # floor((854+320+854+854)/4)
+    assert out[1]["min_interp_milli"] == 320
+    assert out[2]["n_trigrams"] == 1 and out[2]["mean_interp_milli"] == 854
+    assert 3 not in out  # fewer than three tokens -> dropped
+
+
+def test_skew_safe_score_join_matches_plain_join(spark):
+    """The broadcast-head/shuffled-tail split must return EXACTLY the rows
+    of a plain join, for any head size — including head sizes that split a
+    planted hot key from the tail."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        skew_safe_score_join,
+    )
+
+    weighted = spark.createDataFrame(
+        [(d, t, 1) for d in range(20) for t in (["the"] * 5 + ["rare%d" % d])],
+        "doc_id int, tok string, n int",
+    ).groupBy("doc_id", "tok").agg(F.sum("n").alias("n"))
+    score = weighted.groupBy("tok").agg(F.sum("n").alias("freq"))
+    plain = weighted.join(score, "tok").select("doc_id", "tok", "n", "freq")
+    for k in (1, 3, 10_000):
+        split = skew_safe_score_join(weighted, score, ["tok"], "freq", top_k=k).select(
+            "doc_id", "tok", "n", "freq"
+        )
+        assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
