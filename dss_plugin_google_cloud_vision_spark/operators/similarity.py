@@ -132,7 +132,11 @@ def lsh_bucketed_topk(
         ]
 
     scored = df.select(F.col(id_col), F.col(vec_col), *band_cols(F.col(vec_col), "band"))
-    query_row = df.limit(1).select(*[c.alias(f"qband{i}") for i, c in enumerate(band_cols(query, "q"))])
+    # the query band expressions are literal-only: evaluate them over a
+    # 1-row range, not a limit(1) scan of the corpus
+    query_row = df.sparkSession.range(1).select(
+        *[c.alias(f"qband{i}") for i, c in enumerate(band_cols(query, "q"))]
+    )
     with_query = scored.crossJoin(F.broadcast(query_row))
     candidate_filter = None
     for b in range(n_bands):

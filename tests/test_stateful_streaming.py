@@ -432,3 +432,71 @@ def test_streaming_sessionize_across_dst_fall_back(spark, tmp_path):
     assert (1, 3, us(0, 30), us(2, 15)) in emitted
     assert (1, 1, us(12), us(12)) in emitted
     assert len(emitted) == 2
+
+
+def test_windowed_host_counts_watermark_semantics(spark, tmp_path):
+    """Event-time windowed aggregation (windowed_host_counts) across three
+    AvailableNow runs sharing a checkpoint: append mode emits a window only
+    after the PERSISTED watermark passes its end; events older than the
+    watermark are dropped; still-open windows are withheld. Matches the
+    batch event_windows oracle shape on the surviving events."""
+    from datetime import datetime
+
+    from dss_plugin_google_cloud_vision_spark.streaming.stream_extract import (
+        windowed_host_counts,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+
+    def ts(hour, minute=0):
+        return datetime(2024, 3, 5, hour, minute)
+
+    def write_rows(rows):
+        spark.createDataFrame(
+            [(f"https://{host}/p{i}", when, b"", "t", "en") for i, (host, when) in enumerate(rows)],
+            PAGES_DDL,
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    def run():
+        stream = windowed_host_counts(spark, input_dir, window="1 hour", watermark="2 hours")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def emitted():
+        try:
+            return {
+                (r["window_start"].hour, r["host"]): r["n_pages"]
+                for r in spark.read.parquet(out_dir).collect()
+            }
+        except Exception:
+            return {}
+
+    # run 1: five events in the 10:00 window -> watermark ends at 08:40,
+    # nothing closes, nothing emitted
+    write_rows([("a", ts(10, 10)), ("a", ts(10, 20)), ("a", ts(10, 30)),
+                ("b", ts(10, 15)), ("b", ts(10, 40))])
+    run()
+    assert emitted() == {}
+
+    # run 2: 14:05 advances the watermark to 12:05 (closes 10:00); the
+    # 07:30 arrival is OLDER than the persisted 08:40 watermark -> dropped
+    write_rows([("a", ts(14, 5)), ("b", ts(7, 30))])
+    run()
+    out2 = emitted()
+    assert out2 == {(10, "a"): 3, (10, "b"): 2}, out2
+
+    # run 3: 18:00 advances the watermark past 15:00 -> the 14:00 window
+    # closes with only the on-time event; the dropped 07:30 never surfaces
+    write_rows([("c", ts(18, 0))])
+    run()
+    out3 = emitted()
+    assert out3 == {(10, "a"): 3, (10, "b"): 2, (14, "a"): 1}, out3
