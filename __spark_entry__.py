@@ -1254,12 +1254,46 @@ def q_extract_split_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_vision_formatters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7+P8 in ONE query: the unsafe-likelihood and crop-hint formatters
-    are both 1:1 per-doc projections — joined on doc_id into a single wide
-    correctness surface (each side still runs through its real formatter)."""
-    return q_unsafe_likelihoods(spark, sf_dir).join(
-        q_crop_hints_formatter(spark, sf_dir), "doc_id"
+    """P7+P8+P4 in ONE query: the unsafe-likelihood, crop-hint, and
+    web-blocklist formatters are all 1:1 per-doc projections — joined on
+    doc_id into a single wide correctness surface (each side still runs
+    through its real formatter)."""
+    return (
+        q_unsafe_likelihoods(spark, sf_dir)
+        .join(q_crop_hints_formatter(spark, sf_dir), "doc_id")
+        .join(q_web_blocklist_formatter(spark, sf_dir), "doc_id")
     )
+
+
+def q_corpus_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: per-language deterministic hash
+    sample (en 80% / fr 50% / de 25%, everything else 10%) followed by a
+    per-source quota cap (40 docs) — the two corpus-subsampling operators
+    composed the way a mixture builder runs them. Fully deterministic:
+    the sampling coordinate is an md5 hex prefix compared
+    lexicographically, bit-identical across engines."""
+    from dss_plugin_google_cloud_vision_spark.operators.sampling import (
+        cap_per_group,
+        stratified_sample,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    sampled = stratified_sample(
+        docs, {"en": 800, "fr": 500, "de": 250}, default_rate_milli=100
+    )
+    return cap_per_group(sampled, "source", cap=40)
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal over the rendered paragraph
+    corpus: the planted boilerplate line (present in ~2/5 of docs) crosses
+    the min_doc_count threshold and is removed from EVERY document,
+    including its first occurrence — the rule paragraph_dedup deliberately
+    does not apply."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import remove_frequent_lines
+
+    corpus = build_paragraph_corpus(_table(spark, sf_dir, "documents"))
+    return remove_frequent_lines(corpus, min_doc_count=50)
 
 
 def q_text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,13 +1454,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extension_filter": q_extension_filter,
         "text_formatter_roundtrip": q_text_formatter_roundtrip,
         "vision_formatters": q_vision_formatters,
-        "web_blocklist_formatter": q_web_blocklist_formatter,
         "annotated_spans": q_annotated_spans,
         "span_envelope": q_span_envelope,
         "custom_row_extract": q_custom_row_extract,
         "custom_batch_extract": q_custom_batch_extract,
         "unique_naming_collision": q_unique_naming_collision,
-        "min_score_filter": q_min_score_filter,
         "content_topk_formatter": q_content_topk_formatter,
         "column_reorder": q_column_reorder,
         "param_validation_echo": q_param_validation_echo,
@@ -1457,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_predictability": q_trigram_predictability,
         "doc_signals": q_doc_signals,
         "url_canonicalize": q_url_canonicalize,
+        "corpus_subsample": q_corpus_subsample,
+        "boilerplate_lines": q_boilerplate_lines,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "session_stats": q_session_stats,
@@ -1464,6 +1498,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_curation_pipeline": q_web_curation,
         "media_features": q_media_features,
         # ---- driver window ends here (50) — variants below ----
+        # (web_blocklist/min_score: P4 and P2 are exercised inside
+        # vision_formatters and content_topk_formatter's in-window oracles)
+        "web_blocklist_formatter": q_web_blocklist_formatter,
+        "min_score_filter": q_min_score_filter,
         "extract_lang_chars": q_extract_lang_chars,
         "doc_merge_roundtrip": q_doc_merge_roundtrip,
         "shipping_priority": q_shipping_priority,
@@ -1591,8 +1629,16 @@ def oracle_sql() -> dict[str, str]:
             )
             + ", cast(round(cast(doc_id % 100 AS double) / 100.0 * 1000000) AS bigint) AS score_micro"
             ", cast(round(cast(doc_id % 37 AS double) / 37.0 * 1000000) AS bigint) AS importance_micro"
+            ", 'lbl' || cast(doc_id % 7 AS varchar) AS web_label"
+            ", CASE WHEN doc_id % 3 = 0"
+            "  THEN 'https://img' || cast(doc_id AS varchar) || '.example.org/a'"
+            "  ELSE 'https://img' || cast(doc_id AS varchar) || '.example.org/a|'"
+            "    || 'https://img' || cast(doc_id AS varchar) || '.example.org/b'"
+            " END AS full_matching"
             " FROM documents"
         ),
+        "corpus_subsample": _oracles.corpus_subsample_sql(),
+        "boilerplate_lines": _oracles.remove_frequent_lines_sql(),
         "web_blocklist_formatter": (
             "SELECT doc_id, 'lbl' || cast(doc_id % 7 AS varchar) AS web_label, "
             "CASE WHEN doc_id % 3 = 0 "

@@ -630,6 +630,68 @@ def paragraph_dedup(
     )
 
 
+def remove_frequent_lines(
+    df: DataFrame,
+    min_doc_count: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the RefinedWeb/CCNet rule
+    that complements ``paragraph_dedup``): any line occurring in at least
+    ``min_doc_count`` DISTINCT documents is boilerplate (navigation,
+    cookie banners, footers) and is removed from EVERY document —
+    including its first occurrence, which ``paragraph_dedup`` would keep.
+    Documents are reassembled from surviving lines in original order;
+    fully-boilerplate documents drop out.
+
+    Scale shape:
+    - line frequency is counted on (md5(line), id) pairs collapsed FIRST
+      by a composite-key groupBy (skew-free: the hot line's key space is
+      spread across its document ids), then a map-combined count per hash;
+    - the frequent set is bounded by construction (a line needs >=
+      ``min_doc_count`` supporting docs, so there are at most
+      total_lines / min_doc_count of them) — it is joined back as the
+      BUILD side of a broadcast-able anti-join; line text never shuffles
+      with corpus multiplicity.
+
+    Output: id, cleaned_text, n_kept, n_lines (non-empty input count).
+    Mirrored by ``oracles.remove_frequent_lines_sql``.
+    """
+    sep_re = re.escape(sep)
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.size(F.filter(F.split(F.col(text_col), sep_re), lambda p: p != "")).alias(
+                "n_lines"
+            ),
+            F.posexplode(F.split(F.col(text_col), sep_re)).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+        .withColumn("lhash", F.md5(F.col("line")))
+    )
+    frequent = (
+        lines.select("lhash", id_col)
+        .groupBy("lhash", id_col)
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("lhash")
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+        .select("lhash")
+    )
+    kept = lines.join(F.broadcast(frequent), "lhash", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            sep,
+        ).alias("cleaned_text"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.first("n_lines").cast("bigint").alias("n_lines"),
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

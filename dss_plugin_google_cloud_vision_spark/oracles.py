@@ -1144,3 +1144,58 @@ SELECT ids.i AS media_id,
   CASE WHEN h.i IS NULL THEN 1 ELSE 0 END AS error_flag
 FROM ids LEFT JOIN hist h ON h.i = ids.i
 """
+
+
+def remove_frequent_lines_sql(min_doc_count: int = 50) -> str:
+    """Mirror of operators.dedup.remove_frequent_lines over the rendered
+    paragraph corpus: any line in >= min_doc_count distinct docs is
+    removed from EVERY document (boilerplate rule — unlike paragraph
+    dedup, the first occurrence goes too)."""
+    return (
+        f"WITH {paragraph_corpus_sql()}, "
+        "plist AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM pcorpus), "
+        "lines AS ("
+        " SELECT doc_id, u.pos AS pos, u.line AS line, n_lines FROM ("
+        "  SELECT doc_id,"
+        "   unnest(list_transform(generate_series(1, len(ps)), i -> struct_pack(pos := i, line := ps[i]))) AS u,"
+        "   len(list_filter(ps, p -> p <> '')) AS n_lines"
+        "  FROM plist)"
+        " WHERE u.line <> ''), "
+        "frequent AS ("
+        " SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS doc_count FROM lines GROUP BY line)"
+        f" WHERE doc_count >= {min_doc_count}), "
+        "kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM frequent)) "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text, "
+        "cast(count(*) AS bigint) AS n_kept, "
+        "cast(min(n_lines) AS bigint) AS n_lines "
+        "FROM kept GROUP BY doc_id"
+    )
+
+
+def corpus_subsample_sql(
+    rates_milli: dict | None = None,
+    default_rate_milli: int = 100,
+    cap: int = 40,
+    seed: int = 42,
+) -> str:
+    """Mirror of the q_corpus_subsample composition: stratified
+    deterministic hash sample per language, then a per-source quota cap.
+    The sampling coordinate is a lexicographic compare of an md5 hex
+    prefix — byte-identical across engines, no numeric conversion."""
+    from .operators.sampling import sample_threshold_hex
+
+    rates = rates_milli or {"en": 800, "fr": 500, "de": 250}
+    case = "CASE "
+    for value, rate in sorted(rates.items()):
+        case += f"WHEN lang = '{value}' THEN '{sample_threshold_hex(rate)}' "
+    case += f"ELSE '{sample_threshold_hex(default_rate_milli)}' END"
+    return (
+        "WITH sampled AS ("
+        " SELECT doc_id, lang, source FROM documents"
+        f" WHERE substring(md5('{seed}:' || cast(doc_id AS varchar)), 1, 8) < {case}), "
+        "capped AS ("
+        " SELECT *, row_number() OVER (PARTITION BY source"
+        "   ORDER BY substring(md5('0:' || cast(doc_id AS varchar)), 1, 8), doc_id) AS rn"
+        " FROM sampled) "
+        f"SELECT doc_id, lang, source FROM capped WHERE rn <= {cap}"
+    )

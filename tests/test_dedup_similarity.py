@@ -673,3 +673,63 @@ def test_skew_safe_score_join_matches_plain_join(spark):
             "doc_id", "tok", "n", "freq"
         )
         assert sorted(map(tuple, split.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_deterministic_sampling_properties(spark):
+    """Nested-sample property (same seed, higher rate -> superset),
+    determinism across runs, independence across seeds, and exact 0/1000
+    edge rates."""
+    from dss_plugin_google_cloud_vision_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id int")
+    s_low = {r["doc_id"] for r in deterministic_sample(df, 200).collect()}
+    s_high = {r["doc_id"] for r in deterministic_sample(df, 600).collect()}
+    assert s_low <= s_high  # nested: raising the rate only ADDS rows
+    assert s_low == {r["doc_id"] for r in deterministic_sample(df, 200).collect()}
+    # rates are approximately honored (md5 is uniform)
+    assert 0.15 < len(s_low) / 2000 < 0.25
+    assert 0.55 < len(s_high) / 2000 < 0.65
+    other_seed = {r["doc_id"] for r in deterministic_sample(df, 200, seed=7).collect()}
+    assert other_seed != s_low  # different seed -> different sample
+    assert deterministic_sample(df, 0).count() == 0
+    assert deterministic_sample(df, 1000).count() == 2000
+
+
+def test_cap_per_group_quota(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, f"host{i % 3}") for i in range(100)], "doc_id int, source string"
+    )
+    out = cap_per_group(df, "source", cap=10)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"host0": 10, "host1": 10, "host2": 10}
+    # deterministic winner set, not a crawl-order prefix
+    kept_twice = sorted(r["doc_id"] for r in cap_per_group(df, "source", cap=10).collect())
+    assert kept_twice == sorted(r["doc_id"] for r in out.collect())
+    assert kept_twice != list(range(30))
+    # groups under the cap pass through whole
+    assert cap_per_group(df, "source", cap=50).count() == 100
+
+
+def test_remove_frequent_lines_boilerplate(spark):
+    """A line in >= min_doc_count distinct docs is removed EVERYWHERE
+    (first occurrence too — the contrast with paragraph_dedup); rare
+    repeated lines survive; all-boilerplate docs drop out."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import remove_frequent_lines
+
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"unique line {i}\n{boiler}") for i in range(10)]
+    rows.append((100, f"rare repeated\nunique line 100x"))
+    rows.append((101, f"rare repeated\nunique line 101x"))
+    rows.append((102, boiler))  # only boilerplate -> drops out
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in remove_frequent_lines(df, min_doc_count=5).collect()}
+    for i in range(10):
+        assert out[i]["cleaned_text"] == f"unique line {i}"  # boiler gone, incl. first
+        assert out[i]["n_kept"] == 1 and out[i]["n_lines"] == 2
+    # 'rare repeated' appears in only 2 docs < threshold -> kept
+    assert out[100]["cleaned_text"].startswith("rare repeated")
+    assert 102 not in out
