@@ -1284,6 +1284,33 @@ def q_corpus_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(sampled, "source", cap=40)
 
 
+def q_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order sharding witness: per-shard doc count,
+    id sum, and minimum order key over the md5-derived (shard, order_key)
+    assignment — the reproducible global shuffle a training loader reads."""
+    from dss_plugin_google_cloud_vision_spark.operators.packing import shard_corpus
+
+    sharded = shard_corpus(_table(spark, sf_dir, "documents"), n_shards=16)
+    return sharded.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.min("order_key").cast("bigint").alias("min_order"),
+    )
+
+
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p50/p90 document length via the bounded-domain
+    histogram method (the 100 TB-feasible exact quantile: the only window
+    runs over distinct values, never corpus rows)."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        grouped_exact_quantiles,
+    )
+
+    return grouped_exact_quantiles(
+        _table(spark, sf_dir, "documents"), "lang", "n_chars", (50, 90)
+    )
+
+
 def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal over the rendered paragraph
     corpus: the planted boilerplate line (present in ~2/5 of docs) crosses
@@ -1514,6 +1541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "gopher_multilingual": q_gopher_multilingual,
         "bigram_predictability": q_bigram_predictability,
+        "shard_summary": q_shard_summary,
+        "grouped_quantiles": q_grouped_quantiles,
     }
 
 
@@ -1742,6 +1771,8 @@ def oracle_sql() -> dict[str, str]:
         "trigram_predictability": _oracles.trigram_predictability_sql(),
         "doc_signals": _oracles.doc_signals_sql(),
         "media_features": _oracles.media_features_sql(),
+        "shard_summary": _oracles.shard_summary_sql(),
+        "grouped_quantiles": _oracles.grouped_quantiles_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

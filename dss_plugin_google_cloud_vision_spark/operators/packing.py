@@ -131,3 +131,38 @@ def chunk_documents(
         F.col("ch.chunk_text").alias("chunk_text"),
         F.col("ch.n_chunk_tokens").cast("bigint").alias("n_chunk_tokens"),
     )
+
+
+def shard_corpus(
+    df: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic training-order sharding: every document gets a shard
+    id and a within-shard order key, both derived from the first 8 md5 hex
+    digits of ``seed ':' id`` — a reproducible global shuffle (training
+    runs want documents in hash order, not crawl order, and want the SAME
+    order on every re-run) with no engine RNG and no global sort.
+
+    Scale shape: a pure row-local projection. The writer realizes the
+    order with ``df.repartition(n_shards, 'shard').sortWithinPartitions(
+    'order_key', id)`` — a single range-free shuffle keyed by shard —
+    or simply ``partitionBy('shard')`` with per-file sorting; no total
+    ordering across shards is ever needed. Changing ``seed`` reshuffles;
+    changing ``n_shards`` only reassigns shard ids (order keys are
+    independent of the shard count, so resharding is cheap).
+
+    Output: input columns + ``shard`` int + ``order_key`` bigint.
+    Cross-engine exact: Spark ``conv(hex, 16, 10)`` and DuckDB
+    ``('0x' || hex)::bigint`` agree on the 32-bit value.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    hex8 = F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8
+    )
+    order_key = F.conv(hex8, 16, 10).cast("bigint")
+    return df.withColumn("order_key", order_key).withColumn(
+        "shard", (F.col("order_key") % n_shards).cast("int")
+    )

@@ -603,3 +603,46 @@ def trigram_predictability_table(
         .alias("mean_interp_milli"),
         F.min("interp_milli").cast("bigint").alias("min_interp_milli"),
     )
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    percentiles: tuple = (50, 90),
+) -> DataFrame:
+    """EXACT per-group percentiles of a bounded integer column (corpus
+    length profiling: p50/p90 document length per language) — computed
+    the way exact quantiles stay feasible at 100 TB.
+
+    The naive exact form (``row_number`` per group over the raw rows)
+    funnels every group's rows through ONE reducer for a full sort —
+    a handful of language groups means a handful of reducers sorting the
+    whole corpus. Instead: aggregate to the (group, value) HISTOGRAM first
+    (map-combined; the result is tiny — bounded by the value domain, not
+    the corpus), then take cumulative sums over that histogram and pick
+    ``min(value) where cum >= ceil(p * n / 100)`` (quantile_disc
+    semantics, pure integer arithmetic: ``ceil`` as ``(p*n + 99) div
+    100``). The only window runs over distinct values per group —
+    thousands of rows, not billions.
+
+    Output: group, n_rows, p<p> for each requested percentile.
+    Mirrored by ``oracles.grouped_quantiles_sql``.
+    """
+    from pyspark.sql import Window
+
+    hist = df.groupBy(group_col, value_col).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy(group_col).orderBy(value_col)
+    w_all = Window.partitionBy(group_col)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("n").cast("bigint").alias("n_rows")]
+    for p in percentiles:
+        target = F.floor((F.col("n") * int(p) + 99) / 100)
+        aggs.append(
+            F.min(F.when(F.col("cum") >= target, F.col(value_col)))
+            .cast("bigint")
+            .alias(f"p{int(p)}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

@@ -1199,3 +1199,35 @@ def corpus_subsample_sql(
         " FROM sampled) "
         f"SELECT doc_id, lang, source FROM capped WHERE rn <= {cap}"
     )
+
+
+def shard_summary_sql(n_shards: int = 16, seed: int = 42) -> str:
+    """Mirror of q_shard_summary: deterministic md5-derived shard + order
+    key; DuckDB's ('0x'||hex)::bigint equals Spark's conv(hex,16,10)."""
+    return (
+        "WITH sharded AS ("
+        " SELECT doc_id,"
+        f" ('0x' || substring(md5('{seed}:' || cast(doc_id AS varchar)), 1, 8))::BIGINT AS order_key"
+        " FROM documents) "
+        f"SELECT cast(order_key % {n_shards} AS int) AS shard, "
+        "cast(count(*) AS bigint) AS n_docs, "
+        "cast(sum(doc_id) AS bigint) AS sum_ids, "
+        "cast(min(order_key) AS bigint) AS min_order "
+        "FROM sharded GROUP BY 1"
+    )
+
+
+def grouped_quantiles_sql() -> str:
+    """Mirror of textstats.grouped_exact_quantiles(lang, n_chars, (50,90)):
+    histogram + cumulative pick, quantile_disc semantics, pure integers."""
+    return (
+        "WITH hist AS ("
+        " SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY lang, n_chars), "
+        "cum AS ("
+        " SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,"
+        " sum(cnt) OVER (PARTITION BY lang) AS n FROM hist) "
+        "SELECT lang, cast(max(n) AS bigint) AS n_rows, "
+        "cast(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS bigint) AS p50, "
+        "cast(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS bigint) AS p90 "
+        "FROM cum GROUP BY lang"
+    )

@@ -733,3 +733,49 @@ def test_remove_frequent_lines_boilerplate(spark):
     # 'rare repeated' appears in only 2 docs < threshold -> kept
     assert out[100]["cleaned_text"].startswith("rare repeated")
     assert 102 not in out
+
+
+def test_shard_corpus_properties(spark):
+    """Deterministic, uniform-ish, reshard-stable: order keys do not
+    depend on n_shards, every doc gets exactly one shard in range."""
+    from dss_plugin_google_cloud_vision_spark.operators.packing import shard_corpus
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id int")
+    a = shard_corpus(df, n_shards=8).collect()
+    b = shard_corpus(df, n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert all(0 <= r["shard"] < 8 for r in a)
+    counts = {}
+    for r in a:
+        counts[r["shard"]] = counts.get(r["shard"], 0) + 1
+    assert max(counts.values()) < 3 * min(counts.values())  # roughly uniform
+    # resharding keeps order keys (only shard ids change)
+    keys8 = {r["doc_id"]: r["order_key"] for r in a}
+    keys16 = {r["doc_id"]: r["order_key"] for r in shard_corpus(df, n_shards=16).collect()}
+    assert keys8 == keys16
+    # hash order is not crawl order
+    in_shard0 = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["order_key"]))]
+    assert in_shard0 != sorted(in_shard0)
+
+
+def test_grouped_exact_quantiles_vs_sorted_truth(spark):
+    """Histogram-based quantiles must equal the brute-force sorted-list
+    answer (quantile_disc: smallest v with cum >= ceil(p*n/100))."""
+    import math
+
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        grouped_exact_quantiles,
+    )
+
+    rows = [("a", v) for v in [1, 2, 2, 3, 10, 10, 10, 50]] + [("b", v) for v in [7]] + [
+        ("c", v) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_chars int")
+    out = {r["lang"]: r for r in grouped_exact_quantiles(df, "lang", "n_chars", (50, 90)).collect()}
+    for lang in ("a", "b", "c"):
+        values = sorted(v for g, v in rows if g == lang)
+        n = len(values)
+        for p in (50, 90):
+            expected = values[math.ceil(p * n / 100) - 1]
+            assert out[lang][f"p{p}"] == expected, (lang, p, out[lang])
+        assert out[lang]["n_rows"] == n
