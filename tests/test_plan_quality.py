@@ -174,3 +174,60 @@ def test_ivf_index_search_prunes_cell_partitions(spark, tmp_path):
 
     cell_dirs = [d for d in os.listdir(index_path) if d.startswith("cell=")]
     assert len(cell_dirs) >= 2
+
+
+def test_sampling_is_shuffle_free_and_quota_is_single_window(spark, sf_dir):
+    """stratified_sample must be a pure row-local filter over the scan
+    (zero Exchange); cap_per_group adds exactly the one window shuffle its
+    row_number needs."""
+    from dss_plugin_google_cloud_vision_spark.operators.sampling import (
+        cap_per_group,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "source")
+    sampled = stratified_sample(docs, {"en": 800, "fr": 500}, default_rate_milli=100)
+    assert "Exchange" not in _plan(sampled), _plan(sampled)
+    capped = cap_per_group(sampled, "source", cap=40)
+    plan = _plan(capped)
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_boilerplate_frequent_set_is_broadcast_anti_join(spark, sf_dir):
+    """remove_frequent_lines must resolve the frequent set via a broadcast
+    LeftAnti (line text never shuffles with corpus multiplicity) and never
+    use the Expand-based count-distinct (the (hash,id) collapse replaces
+    it)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import remove_frequent_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(remove_frequent_lines(docs, min_doc_count=5))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_shard_corpus_is_projection_only(spark, sf_dir):
+    from dss_plugin_google_cloud_vision_spark.operators.packing import shard_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(shard_corpus(docs, n_shards=64))
+    assert "Exchange" not in plan, plan
+
+
+def test_grouped_quantiles_window_runs_on_histogram(spark, sf_dir):
+    """The exact-quantile plan must aggregate to the (group, value)
+    histogram BEFORE any window: the window's input is the post-aggregate
+    exchange, never raw corpus rows."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        grouped_exact_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(grouped_exact_quantiles(docs, "lang", "n_chars", (50, 90)))
+    assert "Window" in plan, plan
+    # the scan feeds a partial HashAggregate first — the Window section
+    # sits strictly above the histogram aggregation in the plan tree
+    window_pos = plan.index("Window")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
+    assert any(i > window_pos for i in agg_positions), plan
