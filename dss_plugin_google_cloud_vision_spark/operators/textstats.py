@@ -267,6 +267,31 @@ def gopher_quality_table(
     Output: id, n_words, mean_word_len_milli (floor), alpha_word_milli
     (floor), stopword_distinct, keep.
     """
+    cols = gopher_columns(
+        text_col,
+        min_words=min_words,
+        max_words=max_words,
+        min_mean_word_len_milli=min_mean_word_len_milli,
+        max_mean_word_len_milli=max_mean_word_len_milli,
+        min_alpha_word_milli=min_alpha_word_milli,
+        min_stopword_distinct=min_stopword_distinct,
+    )
+    return df.select(F.col(id_col), *[expr.alias(name) for name, expr in cols.items()])
+
+
+def gopher_columns(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_milli: int = 3000,
+    max_mean_word_len_milli: int = 10_000,
+    min_alpha_word_milli: int = 800,
+    min_stopword_distinct: int = 2,
+) -> Dict[str, Column]:
+    """The Gopher gate as raw column expressions (all row-local), so the
+    gate composes into ANY projection — batch tables
+    (``gopher_quality_table``) and stateless streaming filters
+    (``streaming.curation``) alike."""
     toks = tokens(text_col)
     n_words = F.size(toks)
     char_sum = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
@@ -290,15 +315,14 @@ def gopher_quality_table(
         & (alpha_milli >= min_alpha_word_milli)
         & (stop_distinct >= min_stopword_distinct)
     )
-    return df.select(
-        F.col(id_col),
-        n_words.cast("bigint").alias("n_words"),
-        mean_wl_milli.alias("mean_word_len_milli"),
-        alpha_milli.alias("alpha_word_milli"),
-        stop_distinct.alias("stopword_distinct"),
+    return {
+        "n_words": n_words.cast("bigint"),
+        "mean_word_len_milli": mean_wl_milli,
+        "alpha_word_milli": alpha_milli,
+        "stopword_distinct": stop_distinct,
         # int not boolean: exact cross-engine value-hash form
-        keep.cast("int").alias("keep"),
-    )
+        "keep": keep.cast("int"),
+    }
 
 
 # Hot-vocabulary head size for the skew-safe score joins: the top-K rows

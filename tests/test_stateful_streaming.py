@@ -500,3 +500,55 @@ def test_windowed_host_counts_watermark_semantics(spark, tmp_path):
     run()
     out3 = emitted()
     assert out3 == {(10, "a"): 3, (10, "b"): 2, (14, "a"): 1}, out3
+
+
+def test_stream_curation_converges_to_batch_and_dedups_across_runs(spark, tmp_path):
+    """The streaming curator (extract -> gopher gate -> exact dedup) across
+    two AvailableNow runs — the second re-delivering already-seen texts as
+    new files — must end with exactly the batch-curated distinct corpus:
+    same fingerprint set, no duplicate admitted, errors and gate-failures
+    excluded."""
+    from dss_plugin_google_cloud_vision_spark.operators.pages import extract_pages_typed
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import gopher_columns
+    from dss_plugin_google_cloud_vision_spark.streaming.curation import (
+        stream_curate_available_now,
+    )
+
+    input_dir = str(tmp_path / "in")
+    output_dir = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+
+    _write_increment(spark, input_dir, 0, 48)
+    q = stream_curate_available_now(spark, input_dir, output_dir, checkpoint, min_words=40)
+    q.awaitTermination(300)
+    first = spark.read.parquet(output_dir)
+    n_first = first.count()
+    assert n_first > 0
+
+    # wave 2: 16 NEW docs + the first 16 docs AGAIN as fresh files
+    _write_increment(spark, input_dir, 48, 64)
+    _write_increment(spark, input_dir, 0, 16)
+    q = stream_curate_available_now(spark, input_dir, output_dir, checkpoint, min_words=40)
+    q.awaitTermination(300)
+    final = spark.read.parquet(output_dir)
+
+    # batch equivalent over everything ever written (64 distinct docs)
+    batch_pages = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in iter_pages(0, 64)],
+        PAGES_DDL,
+    )
+    typed = extract_pages_typed(batch_pages).filter(F.col("error_type") == "")
+    gate = gopher_columns(min_words=40)
+    expected = (
+        typed.select(F.col("extracted_text").alias("text"))
+        .filter(gate["keep"] == 1)
+        .select(F.md5("text").alias("_fp"))
+        .distinct()
+    )
+    got_fps = {r["_fp"] for r in final.select("_fp").collect()}
+    want_fps = {r["_fp"] for r in expected.collect()}
+    assert got_fps == want_fps
+    # exactly once: no fingerprint admitted twice across waves
+    assert final.count() == len(got_fps)
+    # gate is real: some extracted docs were rejected
+    assert len(want_fps) < 64
