@@ -779,3 +779,51 @@ def test_grouped_exact_quantiles_vs_sorted_truth(spark):
             expected = values[math.ceil(p * n / 100) - 1]
             assert out[lang][f"p{p}"] == expected, (lang, p, out[lang])
         assert out[lang]["n_rows"] == n
+
+
+def test_duplicate_span_removal_randomized_vs_brute_force(spark):
+    """Randomized cross-check of the relational span dedup against a
+    direct Python implementation of the rule (every window_n-token window
+    occurring more than once keeps only its lowest-(id,pos) occurrence;
+    other occurrences' tokens are removed). Ten independent corpora with
+    tiny alphabets (dense window collisions), doc lengths straddling the
+    window size, run as ONE Spark job via per-corpus disjoint vocabularies."""
+    import random
+
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import duplicate_span_removal
+
+    w = 3
+    rng = random.Random(20240817)
+    rows = []
+    for corpus in range(10):
+        vocab = [f"c{corpus}t{k}" for k in range(3)]
+        for d in range(rng.randint(2, 5)):
+            doc_id = corpus * 100 + d
+            n = rng.randint(0, 10)
+            rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    def brute_force(rows):
+        toks = {i: t.split(" ") for i, t in rows}
+        occurrences = {}
+        for i, ts in sorted(toks.items()):
+            for p in range(len(ts) - w + 1):
+                occurrences.setdefault(tuple(ts[p : p + w]), []).append((i, p))
+        covered = {i: set() for i in toks}
+        for occ in occurrences.values():
+            if len(occ) > 1:
+                for i, p in occ[1:] if occ == sorted(occ) else sorted(occ)[1:]:
+                    covered[i].update(range(p, p + w))
+        out = {}
+        for i, ts in toks.items():
+            kept = [t for p, t in enumerate(ts) if p not in covered[i]]
+            if kept:
+                out[i] = (" ".join(kept), len(kept), len(ts))
+        return out
+
+    expected = brute_force(rows)
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["deduped_text"], r["n_tokens_kept"], r["n_tokens"])
+        for r in duplicate_span_removal(df, window_n=w).collect()
+    }
+    assert got == expected
