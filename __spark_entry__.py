@@ -1284,6 +1284,29 @@ def q_corpus_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(sampled, "source", cap=40)
 
 
+def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate 5-gram fraction (the long-n Gopher repetition
+    rule) over documents with a planted self-repeating spam tail on every
+    fifth doc — internal looping that corpus-level dedup cannot see."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        duplicate_ngram_stats,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" spam spam spam spam spam spam spam spam spam spam"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return duplicate_ngram_stats(docs, n=5)
+
+
 def q_shard_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order sharding witness: per-shard doc count,
     id sum, and minimum order key over the md5-derived (shard, order_key)
@@ -1543,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_predictability": q_bigram_predictability,
         "shard_summary": q_shard_summary,
         "grouped_quantiles": q_grouped_quantiles,
+        "duplicate_ngrams": q_duplicate_ngrams,
     }
 
 
@@ -1773,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _oracles.media_features_sql(),
         "shard_summary": _oracles.shard_summary_sql(),
         "grouped_quantiles": _oracles.grouped_quantiles_sql(),
+        "duplicate_ngrams": _oracles.duplicate_ngram_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

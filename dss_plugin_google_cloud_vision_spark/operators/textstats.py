@@ -670,3 +670,43 @@ def grouped_exact_quantiles(
             .alias(f"p{int(p)}")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def duplicate_ngram_stats(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document duplicate n-gram fraction — the long-n complement
+    of ``repetition_table``'s top-bigram signal in the Gopher rule family
+    (Rae et al. 2021 filter on duplicate 5..10-grams; expressed here over
+    token occurrences): the fraction of a document's n-gram occurrences
+    that are repeats of an earlier n-gram in the SAME document. High
+    values mean internally looping/templated text that survives corpus-
+    level dedup because the repetition is internal.
+
+    Row-local at any scale: one transform builds the gram array, one
+    array_distinct counts the unique grams — zero Exchange, exact integer
+    output. Output: id, n_grams, n_distinct, dup_milli
+    (floor((n_grams - n_distinct) * 1000 / n_grams); 0 when no grams).
+    Mirrored by ``oracles.duplicate_ngram_sql``.
+    """
+    base = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_toks"))
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = base.select(F.col(id_col), grams.alias("_grams"))
+    total = F.size(F.col("_grams"))
+    distinct = F.size(F.array_distinct(F.col("_grams")))
+    return with_grams.select(
+        F.col(id_col),
+        total.cast("bigint").alias("n_grams"),
+        distinct.cast("bigint").alias("n_distinct"),
+        F.when(total > 0, F.floor((total - distinct) * 1000 / total))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("dup_milli"),
+    )

@@ -1231,3 +1231,26 @@ def grouped_quantiles_sql() -> str:
         "cast(min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS bigint) AS p90 "
         "FROM cum GROUP BY lang"
     )
+
+
+def duplicate_ngram_sql(n: int = 5) -> str:
+    """Mirror of textstats.duplicate_ngram_stats over the planted-spam
+    corpus of q_duplicate_ngrams (spam tails repeat their own 5-grams)."""
+    return (
+        "WITH corpus AS ("
+        " SELECT doc_id, CASE WHEN doc_id % 5 = 0"
+        "  THEN text || ' spam spam spam spam spam spam spam spam spam spam' ELSE text END AS text"
+        " FROM documents), "
+        "g AS ("
+        " SELECT doc_id, CASE WHEN len(toks) >= "
+        f"{n} THEN list_transform(generate_series(1, len(toks) - {n - 1}),"
+        f" i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+        " ELSE [] END AS grams"
+        " FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)) "
+        "SELECT doc_id, cast(len(grams) AS bigint) AS n_grams, "
+        "cast(len(list_distinct(grams)) AS bigint) AS n_distinct, "
+        "cast(CASE WHEN len(grams) > 0"
+        " THEN floor((len(grams) - len(list_distinct(grams))) * 1000 / len(grams))"
+        " ELSE 0 END AS bigint) AS dup_milli "
+        "FROM g"
+    )

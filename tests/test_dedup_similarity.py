@@ -827,3 +827,22 @@ def test_duplicate_span_removal_randomized_vs_brute_force(spark):
         for r in duplicate_span_removal(df, window_n=w).collect()
     }
     assert got == expected
+
+
+def test_duplicate_ngram_stats_semantics(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        duplicate_ngram_stats,
+    )
+
+    rows = [
+        (1, "a b c d e f g"),            # 3 distinct 5-grams, no repeats
+        (2, "x y x y x y x y x y x y"),  # period-2 loop: heavy repeats
+        (3, "one two three"),            # shorter than n -> zero grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in duplicate_ngram_stats(df, n=5).collect()}
+    assert out[1]["n_grams"] == 3 and out[1]["dup_milli"] == 0
+    # doc2: 8 grams, only 2 distinct ("x y x y x" / "y x y x y")
+    assert out[2]["n_grams"] == 8 and out[2]["n_distinct"] == 2
+    assert out[2]["dup_milli"] == 750  # floor(6*1000/8)
+    assert out[3]["n_grams"] == 0 and out[3]["dup_milli"] == 0
