@@ -94,6 +94,75 @@ class SnapshotLog:
         os.replace(tmp, target)  # <- the commit point
         return snapshot_id
 
+    # -- maintenance (the Iceberg rewrite_data_files / expire_snapshots /
+    # remove_orphan_files triad in miniature — at 100 TB these run on a
+    # schedule or the table drowns in small files and dead snapshots) ----
+
+    def compact(self, spark: SparkSession, target_partitions: Optional[int] = None) -> int:
+        """Small-files compaction (Iceberg ``rewrite_data_files``): rewrite
+        the CURRENT snapshot's data as ONE fresh data directory and commit
+        a manifest referencing only it. Readers pinned to older snapshots
+        still see the old directories (they stay until expiry + orphan
+        removal); new readers scan the compacted files. Returns the new
+        snapshot id."""
+        current = self.current_snapshot_id()
+        if current is None:
+            raise ValueError("cannot compact an empty snapshot log")
+        table = self.read(spark, current)
+        if target_partitions:
+            table = table.coalesce(target_partitions)
+        parent = current
+        snapshot_id = parent + 1
+        commit_dir = f"s{snapshot_id:08d}-compact-{uuid.uuid4().hex[:12]}"
+        table.write.parquet(os.path.join(self.data_dir, commit_dir))
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": parent,
+            "run_id": "compact",
+            "dirs": [commit_dir],  # <- the whole point: one dir replaces all
+        }
+        target = os.path.join(self.manifest_dir, f"{snapshot_id:08d}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as handle:
+            json.dump(manifest, handle, indent=1)
+        os.replace(tmp, target)
+        return snapshot_id
+
+    def expire_snapshots(self, keep_last: int = 1) -> List[int]:
+        """Drop the manifests of all but the newest ``keep_last`` snapshots
+        (Iceberg ``expire_snapshots``). Time travel to an expired id stops
+        working; data directories are NOT touched here — they are freed by
+        ``remove_orphans`` once no retained manifest references them.
+        Returns the expired ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the current snapshot must survive)")
+        ids = self.snapshot_ids()
+        expired = ids[:-keep_last]
+        for snapshot_id in expired:
+            os.remove(os.path.join(self.manifest_dir, f"{snapshot_id:08d}.json"))
+        return expired
+
+    def remove_orphans(self) -> List[str]:
+        """Delete data directories referenced by NO retained manifest:
+        crash leftovers (written but never published) and directories
+        dereferenced by compaction once their snapshots expired. Safe by
+        construction — the reachable set is computed from the manifests
+        that exist at call time, and a concurrent commit's directory is
+        unreachable only before its manifest publish, which single-writer
+        scheduling (module docstring) already excludes. Returns the
+        removed directory names."""
+        import shutil
+
+        reachable = set()
+        for snapshot_id in self.snapshot_ids():
+            reachable.update(self.manifest(snapshot_id)["dirs"])
+        removed = []
+        for name in sorted(os.listdir(self.data_dir)):
+            if name not in reachable:
+                shutil.rmtree(os.path.join(self.data_dir, name))
+                removed.append(name)
+        return removed
+
     # -- read --------------------------------------------------------------
 
     def read(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> Optional[DataFrame]:

@@ -131,3 +131,39 @@ def test_stray_json_in_manifest_dir_is_ignored(spark, tmp_path):
     assert log.read(spark).count() == 4
     assert log.commit(spark.range(2)) == 2
     assert log.read(spark).count() == 6
+
+
+def test_compact_expire_remove_orphans_lifecycle(spark, tmp_path):
+    """The maintenance triad: compaction rewrites the table as one data
+    dir (older snapshots still readable), expiry drops old manifests, and
+    orphan removal then frees every unreferenced directory — including a
+    planted crash leftover — without touching live data."""
+    log = SnapshotLog(str(tmp_path / "table"))
+    for lo, hi in ((0, 3), (3, 7), (7, 12)):
+        log.commit(spark.range(lo, hi).select(F.col("id")))
+    assert len(os.listdir(log.data_dir)) == 3
+
+    # planted crash leftover: data written, manifest never published
+    crash_dir = os.path.join(log.data_dir, "s99999999-crashed-deadbeef")
+    spark.range(100, 105).write.parquet(crash_dir)
+
+    s4 = log.compact(spark, target_partitions=1)
+    assert s4 == 4
+    assert log.read(spark).count() == 12
+    assert sorted(r["id"] for r in log.read(spark).collect()) == list(range(12))
+    # pre-compaction snapshot still time-travelable (data dirs intact)
+    assert log.read(spark, 2).count() == 7
+
+    # nothing is orphaned yet: snapshots 1-3 still reference the old dirs
+    assert log.remove_orphans() == ["s99999999-crashed-deadbeef"]
+    assert log.read(spark, 2).count() == 7
+
+    expired = log.expire_snapshots(keep_last=1)
+    assert expired == [1, 2, 3]
+    removed = log.remove_orphans()
+    assert len(removed) == 3  # the three pre-compaction data dirs
+    assert len(os.listdir(log.data_dir)) == 1
+    # the table is intact and still appendable
+    assert log.read(spark).count() == 12
+    log.commit(spark.range(12, 14).select(F.col("id")))
+    assert log.read(spark).count() == 14
