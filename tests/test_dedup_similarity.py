@@ -846,3 +846,66 @@ def test_duplicate_ngram_stats_semantics(spark):
     assert out[2]["n_grams"] == 8 and out[2]["n_distinct"] == 2
     assert out[2]["dup_milli"] == 750  # floor(6*1000/8)
     assert out[3]["n_grams"] == 0 and out[3]["dup_milli"] == 0
+
+
+def test_chunk_documents_randomized_coverage_property(spark):
+    """For random doc lengths and (chunk, stride) combos with stride <=
+    chunk: every token position is covered by at least one chunk, chunk
+    token counts are consistent with their slice, and re-joining stride==
+    chunk (disjoint) chunks reconstructs the document exactly."""
+    import random
+
+    from dss_plugin_google_cloud_vision_spark.operators.packing import chunk_documents
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(rng.randint(1, 37)))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for chunk, stride in ((8, 5), (8, 8), (16, 7)):
+        out = {}
+        for r in chunk_documents(df, chunk_tokens=chunk, stride_tokens=stride).collect():
+            out.setdefault(r["doc_id"], []).append(r)
+        for i, text in rows:
+            n = len(text.split(" "))
+            chunks = sorted(out[i], key=lambda r: r["chunk_id"])
+            covered = set()
+            for r in chunks:
+                start = r["token_start"]
+                assert r["chunk_text"] == " ".join(text.split(" ")[start : start + chunk])
+                assert r["n_chunk_tokens"] == min(chunk, n - start)
+                covered.update(range(start, start + r["n_chunk_tokens"]))
+            assert covered == set(range(n)), (i, chunk, stride)
+            if stride == chunk:  # disjoint chunks reconstruct the doc
+                assert " ".join(r["chunk_text"] for r in chunks) == text
+
+
+def test_pack_sequences_randomized_invariants(spark):
+    """Random corpora vs a direct prefix-sum reference: stream packing
+    must place every doc at its exact cumulative offset (seq_id, offset,
+    boundary flag), invariant to the two-phase group size."""
+    import random
+
+    from dss_plugin_google_cloud_vision_spark.operators.packing import pack_sequences
+
+    rng = random.Random(11)
+    budget = 16
+    rows = [(i, " ".join("w" for _ in range(rng.randint(1, 24)))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    start, expected = 0, {}
+    for i, text in sorted(rows):
+        n = len(text.split(" "))
+        end = start + n - 1
+        expected[i] = (n, start // budget, start % budget, int(end // budget > start // budget))
+        start += n
+
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["seq_id"], r["offset_in_seq"], r["spans_boundary"])
+        for r in pack_sequences(df, budget_tokens=budget, group_size=4).collect()
+    }
+    assert base == expected
+    for gs in (1, 7, 50):
+        again = {
+            r["doc_id"]: (r["n_tokens"], r["seq_id"], r["offset_in_seq"], r["spans_boundary"])
+            for r in pack_sequences(df, budget_tokens=budget, group_size=gs).collect()
+        }
+        assert again == expected
