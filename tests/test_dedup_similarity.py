@@ -909,3 +909,34 @@ def test_pack_sequences_randomized_invariants(spark):
             for r in pack_sequences(df, budget_tokens=budget, group_size=gs).collect()
         }
         assert again == expected
+
+
+def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
+    """Appending vectors into a persisted IVF index (frozen codebook) is
+    partition-local and searches see old + new vectors: a planted
+    near-duplicate of the query appended AFTER the build must surface at
+    rank 2 (the query itself stays rank 1), and pre-existing results are
+    unchanged otherwise."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index_path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, index_path, n_centroids=8, train_iterations=2)
+    before = search_ivf_index(spark, index_path, centroids, query, k=5, n_probe=3).collect()
+    assert before[0]["vec_id"] == 0 and before[0]["cos_micro"] == 1_000_000
+
+    # plant an almost-identical vector (id 999999) and append it
+    near = [v * 0.999 for v in query]
+    new = spark.createDataFrame([(999999, near)], "vec_id bigint, embedding array<double>")
+    append_to_ivf_index(new, index_path, centroids)
+
+    after = search_ivf_index(spark, index_path, centroids, query, k=5, n_probe=3).collect()
+    assert after[0]["vec_id"] == 0
+    assert after[1]["vec_id"] == 999999 and after[1]["cos_micro"] >= 999_000
+    # pre-existing ranking below the insert is preserved
+    assert [r["vec_id"] for r in after[2:]] == [r["vec_id"] for r in before[1:4]]
