@@ -1284,6 +1284,15 @@ def q_corpus_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(sampled, "source", cap=40)
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail bucketing by the exact
+    bigram LM score, tercile thresholds via the bounded-domain histogram
+    quantile — the mixture-construction step after quality scoring."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import lm_quality_buckets
+
+    return lm_quality_buckets(_table(spark, sf_dir, "documents"))
+
+
 def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc duplicate 5-gram fraction (the long-n Gopher repetition
     rule) over documents with a planted self-repeating spam tail on every
@@ -1567,6 +1576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_summary": q_shard_summary,
         "grouped_quantiles": q_grouped_quantiles,
         "duplicate_ngrams": q_duplicate_ngrams,
+        "quality_buckets": q_quality_buckets,
     }
 
 
@@ -1798,6 +1808,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_summary": _oracles.shard_summary_sql(),
         "grouped_quantiles": _oracles.grouped_quantiles_sql(),
         "duplicate_ngrams": _oracles.duplicate_ngram_sql(),
+        "quality_buckets": _oracles.lm_quality_buckets_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -710,3 +710,46 @@ def duplicate_ngram_stats(
         .cast("bigint")
         .alias("dup_milli"),
     )
+
+
+def lm_quality_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020: split each
+    language's documents into head/middle/tail by LM perplexity): here
+    the integer-exact ``bigram_predictability_table`` score stands in for
+    the LM, and the per-language tercile thresholds come from
+    ``grouped_exact_quantiles`` — the bounded-domain histogram method
+    (scores live in [0, 1000] milli), so the threshold computation stays
+    exact and scale-safe.
+
+    head = most predictable tercile of its language, tail = least.
+    Ties on the threshold go to the better bucket (<= semantics),
+    mirrored exactly by the oracle.
+
+    Scale shape: the per-doc score is the audited bigram plan; the
+    threshold table is one row per language (broadcast join); bucketing
+    is a row-local CASE. Output: id, lang, mean_pred_milli, bucket.
+    Mirrored by ``oracles.lm_quality_buckets_sql``.
+    """
+    scores = bigram_predictability_table(df, id_col, text_col).join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    thresholds = grouped_exact_quantiles(
+        scores, lang_col, "mean_pred_milli", (33, 67)
+    ).select(lang_col, F.col("p33"), F.col("p67"))
+    bucketed = scores.join(F.broadcast(thresholds), lang_col)
+    bucket = (
+        F.when(F.col("mean_pred_milli") <= F.col("p33"), F.lit("tail"))
+        .when(F.col("mean_pred_milli") <= F.col("p67"), F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return bucketed.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("mean_pred_milli"),
+        bucket.alias("bucket"),
+    )

@@ -1254,3 +1254,28 @@ def duplicate_ngram_sql(n: int = 5) -> str:
         " ELSE 0 END AS bigint) AS dup_milli "
         "FROM g"
     )
+
+
+def lm_quality_buckets_sql() -> str:
+    """Mirror of textstats.lm_quality_buckets: bigram scores + per-lang
+    exact terciles (histogram method) + CASE bucketing."""
+    return (
+        f"WITH scored AS ({bigram_predictability_sql()}), "
+        "joined AS ("
+        " SELECT s.doc_id, d.lang, s.mean_pred_milli"
+        " FROM scored s JOIN documents d ON s.doc_id = d.doc_id), "
+        "hist AS ("
+        " SELECT lang, mean_pred_milli AS v, count(*) AS cnt FROM joined GROUP BY lang, v), "
+        "cum AS ("
+        " SELECT lang, v, sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,"
+        " sum(cnt) OVER (PARTITION BY lang) AS n FROM hist), "
+        "thresholds AS ("
+        " SELECT lang, "
+        " min(CASE WHEN cum >= (n * 33 + 99) // 100 THEN v END) AS p33, "
+        " min(CASE WHEN cum >= (n * 67 + 99) // 100 THEN v END) AS p67 "
+        " FROM cum GROUP BY lang) "
+        "SELECT j.doc_id, j.lang, j.mean_pred_milli, "
+        "CASE WHEN j.mean_pred_milli <= t.p33 THEN 'tail' "
+        " WHEN j.mean_pred_milli <= t.p67 THEN 'middle' ELSE 'head' END AS bucket "
+        "FROM joined j JOIN thresholds t ON j.lang = t.lang"
+    )
