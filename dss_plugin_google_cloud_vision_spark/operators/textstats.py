@@ -738,6 +738,9 @@ def lm_quality_buckets(
     scores = bigram_predictability_table(df, id_col, text_col).join(
         df.select(F.col(id_col), F.col(lang_col)), id_col
     )
+    # dual consumer (threshold aggregate + bucketing join): checkpoint the
+    # score table once instead of recomputing the bigram plan per branch
+    scores = scores.localCheckpoint(eager=False)
     thresholds = grouped_exact_quantiles(
         scores, lang_col, "mean_pred_milli", (33, 67)
     ).select(lang_col, F.col("p33"), F.col("p67"))
