@@ -940,3 +940,35 @@ def test_ivf_index_incremental_append(spark, sf_dir, tmp_path):
     assert after[1]["vec_id"] == 999999 and after[1]["cos_micro"] >= 999_000
     # pre-existing ranking below the insert is preserved
     assert [r["vec_id"] for r in after[2:]] == [r["vec_id"] for r in before[1:4]]
+
+
+def test_pq_ann_recall_and_determinism(spark, sf_dir):
+    """PQ (train -> encode -> ADC search + exact refine) must return the
+    query itself at rank 1, overlap substantially with brute-force top-5,
+    and be bit-deterministic across runs; codes are small ints in range."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        brute_force_topk,
+        encode_pq,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n_sub = 4 if dim % 4 == 0 else 2
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    books = train_pq_codebooks(emb, n_subspaces=n_sub, n_codes=8, train_iterations=2)
+    assert len(books) == n_sub and all(len(b) == 8 for b in books)
+    books2 = train_pq_codebooks(emb, n_subspaces=n_sub, n_codes=8, train_iterations=2)
+    assert books == books2  # deterministic training
+
+    encoded = encode_pq(emb, books)
+    sample = encoded.select("pq_codes").limit(20).collect()
+    assert all(0 <= c < 8 for r in sample for c in r["pq_codes"])
+
+    got = pq_topk(encoded, books, query, k=5, refine=8).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cos_micro"] == 1_000_000
+    brute = {r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()}
+    overlap = len(brute & {r["vec_id"] for r in got})
+    assert overlap >= 2, (overlap, got)
