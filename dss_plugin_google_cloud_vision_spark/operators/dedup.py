@@ -651,9 +651,12 @@ def remove_frequent_lines(
       spread across its document ids), then a map-combined count per hash;
     - the frequent set is bounded by construction (a line needs >=
       ``min_doc_count`` supporting docs, so there are at most
-      total_lines / min_doc_count of them) — it is joined back as the
-      BUILD side of a broadcast-able anti-join; line text never shuffles
-      with corpus multiplicity.
+      total_lines / min_doc_count of them — still linear in the corpus
+      for a pathologically templated web, so the anti-join carries NO
+      forced broadcast hint: AQE broadcasts it when it is actually small
+      and falls back to a shuffled anti-join when it is not); line text
+      never shuffles with corpus multiplicity either way (the build side
+      is 32-byte hashes).
 
     Output: id, cleaned_text, n_kept, n_lines (non-empty input count).
     Mirrored by ``oracles.remove_frequent_lines_sql``.
@@ -679,7 +682,7 @@ def remove_frequent_lines(
         .filter(F.col("doc_count") >= min_doc_count)
         .select("lhash")
     )
-    kept = lines.join(F.broadcast(frequent), "lhash", "left_anti")
+    kept = lines.join(frequent, "lhash", "left_anti")
     return kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -157,12 +157,13 @@ def shard_corpus(
     Cross-engine exact: Spark ``conv(hex, 16, 10)`` and DuckDB
     ``('0x' || hex)::bigint`` agree on the 32-bit value.
     """
+    from .sampling import sample_key_column
+
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    hex8 = F.substring(
-        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8
-    )
-    order_key = F.conv(hex8, 16, 10).cast("bigint")
+    # the SAME sampling coordinate as operators.sampling (one definition
+    # of the md5-hex prefix, one oracle mirror to keep in sync)
+    order_key = F.conv(sample_key_column(id_col, seed), 16, 10).cast("bigint")
     return df.withColumn("order_key", order_key).withColumn(
         "shard", (F.col("order_key") % n_shards).cast("int")
     )

@@ -485,8 +485,8 @@ def train_pq_codebooks(
     difference between an index that fits executor memory and one that
     does not."""
     first = df.select(vec_col).first()
-    if first is None:
-        return []
+    if first is None or first[0] is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
     dim = len(first[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
@@ -563,18 +563,32 @@ def pq_topk(
 
     def adc_score(codes):
         values = codes.values
-        out = np.zeros(len(values))
+        # absent vectors carry NULL codes (ivf_cell_udf emits SQL NULLs);
+        # score them -inf so they never reach the candidate set — same
+        # tolerance as search_ivf_index, where a NULL cell never matches
+        out = np.full(len(values), -np.inf)
         for i, code in enumerate(values):
-            arr = np.asarray(code, dtype=np.int64)
-            out[i] = lut[np.arange(len(arr)), arr].sum()
+            if code is None:
+                continue
+            # NULL elements arrive as NaN through Arrow (nullable ints
+            # widen to float) or as None in object arrays — float64 via
+            # NaN-check covers both before the int cast
+            arr = np.asarray(code, dtype=np.float64)
+            if arr.size == 0 or np.isnan(arr).any():
+                continue
+            codes_int = arr.astype(np.int64)
+            out[i] = lut[np.arange(len(codes_int)), codes_int].sum()
         return pd.Series(out)
 
     adc_score.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    # the approx score stays a raw DOUBLE: it is internal (never in the
+    # output surface, so no cross-engine hash concern), and the -inf
+    # sentinel for absent vectors sorts itself last — a micro-int cast
+    # would ANSI-overflow on it
     approx = encoded.withColumn(
-        "_approx_micro",
-        F.round(pandas_udf(adc_score, "double")(F.col(code_col)) * 1_000_000).cast("bigint"),
+        "_approx", pandas_udf(adc_score, "double")(F.col(code_col))
     )
-    candidates = approx.orderBy(F.desc("_approx_micro"), F.asc(id_col)).limit(k * refine)
+    candidates = approx.orderBy(F.desc("_approx"), F.asc(id_col)).limit(k * refine)
     query = F.array(*[F.lit(float(v)) for v in query_vector])
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")

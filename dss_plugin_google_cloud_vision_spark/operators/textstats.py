@@ -352,10 +352,13 @@ def skew_safe_score_join(
     head = score_table.orderBy(F.desc(count_col), *keys).limit(top_k)
     tail = score_table.join(F.broadcast(head.select(*keys)), keys, "left_anti")
     score_cols = [c for c in score_table.columns if c not in keys]
-    probed = weighted.join(F.broadcast(head), keys, "left")
-    hit = probed.filter(F.col(count_col).isNotNull())
-    miss = probed.filter(F.col(count_col).isNull()).drop(*score_cols)
-    return hit.unionByName(miss.join(tail, keys).select(*probed.columns))
+    # hit detection via a non-null sentinel, NOT score-column nullness —
+    # a legitimately-NULL score value must not reroute its row to the
+    # tail branch (where the inner join would drop it)
+    probed = weighted.join(F.broadcast(head.withColumn("_head_hit", F.lit(1))), keys, "left")
+    hit = probed.filter(F.col("_head_hit").isNotNull()).drop("_head_hit")
+    miss = probed.filter(F.col("_head_hit").isNull()).drop("_head_hit", *score_cols)
+    return hit.unionByName(miss.join(tail, keys).select(*hit.columns))
 
 
 def token_rarity_table(
@@ -727,8 +730,9 @@ def lm_quality_buckets(
     exact and scale-safe.
 
     head = most predictable tercile of its language, tail = least.
-    Ties on the threshold go to the better bucket (<= semantics),
-    mirrored exactly by the oracle.
+    A score exactly equal to a threshold falls to the LOWER bucket
+    (``<=`` semantics — p33 itself is tail), mirrored exactly by the
+    oracle.
 
     Scale shape: the per-doc score is the audited bigram plan; the
     threshold table is one row per language (broadcast join); bucketing

@@ -70,6 +70,17 @@ class SnapshotLog:
 
     # -- commit ------------------------------------------------------------
 
+    def _publish_manifest(self, manifest: dict) -> None:
+        """THE commit point, shared by every manifest writer: json to a
+        unique tmp name, then ``os.replace`` onto the snapshot-id name —
+        any change to the publish protocol (fsync, id scheme) lands in
+        commit() and compact() together."""
+        target = os.path.join(self.manifest_dir, f"{manifest['snapshot_id']:08d}.json")
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as handle:
+            json.dump(manifest, handle, indent=1)
+        os.replace(tmp, target)  # <- the commit point
+
     def commit(self, df: DataFrame, run_id: Optional[str] = None) -> int:
         """Write ``df`` as a new data directory and publish the next
         snapshot manifest atomically. Returns the new snapshot id."""
@@ -81,17 +92,14 @@ class SnapshotLog:
         commit_dir = f"s{snapshot_id:08d}-{run_id or 'run'}-{uuid.uuid4().hex[:12]}"
         df.write.parquet(os.path.join(self.data_dir, commit_dir))
         dirs = self.manifest(parent)["dirs"] if parent else []
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "parent_id": parent,
-            "run_id": run_id,
-            "dirs": dirs + [commit_dir],
-        }
-        target = os.path.join(self.manifest_dir, f"{snapshot_id:08d}.json")
-        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as handle:
-            json.dump(manifest, handle, indent=1)
-        os.replace(tmp, target)  # <- the commit point
+        self._publish_manifest(
+            {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent,
+                "run_id": run_id,
+                "dirs": dirs + [commit_dir],
+            }
+        )
         return snapshot_id
 
     # -- maintenance (the Iceberg rewrite_data_files / expire_snapshots /
@@ -115,17 +123,14 @@ class SnapshotLog:
         snapshot_id = parent + 1
         commit_dir = f"s{snapshot_id:08d}-compact-{uuid.uuid4().hex[:12]}"
         table.write.parquet(os.path.join(self.data_dir, commit_dir))
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "parent_id": parent,
-            "run_id": "compact",
-            "dirs": [commit_dir],  # <- the whole point: one dir replaces all
-        }
-        target = os.path.join(self.manifest_dir, f"{snapshot_id:08d}.json")
-        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as handle:
-            json.dump(manifest, handle, indent=1)
-        os.replace(tmp, target)
+        self._publish_manifest(
+            {
+                "snapshot_id": snapshot_id,
+                "parent_id": parent,
+                "run_id": "compact",
+                "dirs": [commit_dir],  # <- the whole point: one dir replaces all
+            }
+        )
         return snapshot_id
 
     def expire_snapshots(self, keep_last: int = 1) -> List[int]:

@@ -972,3 +972,32 @@ def test_pq_ann_recall_and_determinism(spark, sf_dir):
     brute = {r["vec_id"] for r in brute_force_topk(emb, query, k=5).collect()}
     overlap = len(brute & {r["vec_id"] for r in got})
     assert overlap >= 2, (overlap, got)
+
+
+def test_pq_search_tolerates_null_embeddings(spark, sf_dir):
+    """Rows with NULL embeddings carry NULL PQ codes (ivf_cell_udf emits
+    SQL NULLs for absent vectors); the ADC scorer must skip them, not
+    abort the job — same tolerance as the IVF search path."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        encode_pq,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    n_sub = 4 if dim % 4 == 0 else 2
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = train_pq_codebooks(emb, n_subspaces=n_sub, n_codes=8, train_iterations=1)
+
+    with_null = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame([(999999, None)], "vec_id bigint, embedding array<float>")
+    )
+    got = pq_topk(encode_pq(with_null, books), books, query, k=5, refine=8).collect()
+    assert got[0]["vec_id"] == 0
+    assert all(r["vec_id"] != 999999 for r in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty corpus"):
+        train_pq_codebooks(emb.filter(F.lit(False)), n_subspaces=n_sub)

@@ -194,16 +194,17 @@ def test_sampling_is_shuffle_free_and_quota_is_single_window(spark, sf_dir):
     assert "Window" in plan, plan
 
 
-def test_boilerplate_frequent_set_is_broadcast_anti_join(spark, sf_dir):
-    """remove_frequent_lines must resolve the frequent set via a broadcast
-    LeftAnti (line text never shuffles with corpus multiplicity) and never
-    use the Expand-based count-distinct (the (hash,id) collapse replaces
-    it)."""
+def test_boilerplate_frequent_set_is_hash_anti_join(spark, sf_dir):
+    """remove_frequent_lines resolves the frequent set via a LeftAnti hash
+    join with NO forced broadcast (AQE broadcasts when the set is actually
+    small; a pathologically templated corpus falls back to a shuffled
+    anti-join instead of OOMing the driver) and never uses the
+    Expand-based count-distinct (the (hash,id) collapse replaces it)."""
     from dss_plugin_google_cloud_vision_spark.operators.dedup import remove_frequent_lines
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(remove_frequent_lines(docs, min_doc_count=5))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "LeftAnti" in plan, plan
     assert "Expand" not in plan, plan
 
 
