@@ -1284,6 +1284,23 @@ def q_corpus_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(sampled, "source", cap=40)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (train → encode → ADC search →
+    exact refine) against the fully-relational DuckDB mirror: identical
+    L2 Lloyd training per subspace, identical left-fold arithmetic, so
+    codebooks, codes, candidates and ranks agree bit-for-bit."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        encode_pq,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    books = train_pq_codebooks(emb, n_subspaces=2, n_codes=8, train_iterations=1)
+    return pq_topk(encode_pq(emb, books), books, query, k=10, refine=4)
+
+
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language head/middle/tail bucketing by the exact
     bigram LM score, tercile thresholds via the bounded-domain histogram
@@ -1577,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_quantiles": q_grouped_quantiles,
         "duplicate_ngrams": q_duplicate_ngrams,
         "quality_buckets": q_quality_buckets,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -1809,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": _oracles.grouped_quantiles_sql(),
         "duplicate_ngrams": _oracles.duplicate_ngram_sql(),
         "quality_buckets": _oracles.lm_quality_buckets_sql(),
+        "pq_topk": _oracles.pq_topk_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -213,7 +213,14 @@ def ivf_cell_udf(centroids: List[List[float]], metric: str = "dot"):
     # quantizer (L2 by definition) reuses this kernel unchanged
     if metric not in ("dot", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
-    norm_sq = (codebook * codebook).sum(axis=1) if metric == "l2" else None
+    norm_sq = None
+    if metric == "l2":
+        # explicit per-dimension fold, NOT ndarray.sum(): numpy reduces
+        # with 8-way unrolled accumulators above ~8 elements, which is a
+        # different IEEE rounding chain than the oracle's left fold
+        norm_sq = np.zeros(n_cells)
+        for d in range(dim):
+            norm_sq = norm_sq + codebook[:, d] * codebook[:, d]
 
     def cell_of(vecs):
         values = vecs.values

@@ -1279,3 +1279,106 @@ def lm_quality_buckets_sql() -> str:
         " WHEN j.mean_pred_milli <= t.p67 THEN 'middle' ELSE 'head' END AS bucket "
         "FROM joined j JOIN thresholds t ON j.lang = t.lang"
     )
+
+
+def _pq_sub_expr(j: int, sub: int, source_col: str = "embedding") -> str:
+    """DuckDB 1-based inclusive slice of subspace j."""
+    return f"{source_col}[{j * sub + 1}:{(j + 1) * sub}]"
+
+
+def _pq_l2_assign_cte(name: str, source: str, cents: str, sub: int) -> str:
+    """L2 code assignment: argmin ||v-c||^2 as argmax (2*dot - ||c||^2),
+    replicating similarity.ivf_cell_udf(metric='l2') exactly — the dot is
+    the left-fold flat sum, the norm is the left-fold self-dot, and the
+    combination is ((2.0 * dot) - norm) with (score DESC, cid) tie-break."""
+    dot = _flat_dot("e.sv", "c.cvec", sub)
+    norm = _flat_dot("c.cvec", "c.cvec", sub)
+    return (
+        f"{name} AS ("
+        " SELECT vec_id, sv, cell FROM ("
+        "  SELECT e.vec_id, e.sv, c.cid AS cell,"
+        f"   row_number() OVER (PARTITION BY e.vec_id"
+        f"    ORDER BY ((2.0 * ({dot})) - ({norm})) DESC, c.cid) AS rn"
+        f"  FROM {source} e, {cents} c) WHERE rn = 1)"
+    )
+
+
+def _pq_kmeans_step(j: int, step: int, sub: int) -> str:
+    """One L2 Lloyd iteration for subspace ``j`` (micro-quantized integer
+    sums; empty cells keep their previous centroid) — the per-subspace
+    mirror of train_centroids(metric='l2')."""
+    sums = ", ".join(
+        f"sum(cast(round(cast(sv[{d + 1}] AS double) * 1000000) AS bigint)) AS s{d}"
+        for d in range(sub)
+    )
+    mean_list = ", ".join(f"(cast(m.s{d} AS double) / m.n) / 1000000.0" for d in range(sub))
+    return (
+        f"{_pq_l2_assign_cte(f'pa{j}_{step - 1}', f'sub{j}', f'pc{j}_{step - 1}', sub)}, "
+        f"pm{j}_{step} AS (SELECT cell, count(*) AS n, {sums} FROM pa{j}_{step - 1} GROUP BY cell), "
+        f"pc{j}_{step} AS ("
+        " SELECT c.cid,"
+        f"  CASE WHEN m.cell IS NULL THEN c.cvec ELSE [{mean_list}] END AS cvec"
+        f" FROM pc{j}_{step - 1} c LEFT JOIN pm{j}_{step} m ON m.cell = c.cid)"
+    )
+
+
+def pq_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_subspaces: int = 2,
+    n_codes: int = 8,
+    train_iterations: int = 1,
+    refine: int = 4,
+    dim: int = 64,
+) -> str:
+    """Fully-relational mirror of the PQ pipeline (train_pq_codebooks →
+    encode_pq → pq_topk): per-subspace L2 k-means (lowest-id seeds, Lloyd
+    with micro-quantized sums), code assignment, the query's ADC lookup
+    table as a per-subspace dot against the trained centroids, candidate
+    selection by summed LUT values (raw doubles, identical left-fold
+    order), exact-cosine refine of the top k*refine."""
+    sub = dim // n_subspaces
+    parts = []
+    approx_terms = []
+    joins = []
+    for j in range(n_subspaces):
+        parts.append(
+            f"sub{j} AS (SELECT vec_id, {_pq_sub_expr(j, sub)} AS sv FROM embeddings)"
+        )
+        parts.append(
+            f"pc{j}_0 AS ("
+            " SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+            "  list_transform(sv, x -> CAST(x AS DOUBLE)) AS cvec"
+            f" FROM (SELECT vec_id, sv FROM sub{j} ORDER BY vec_id LIMIT {n_codes}))"
+        )
+        for step in range(1, train_iterations + 1):
+            parts.append(_pq_kmeans_step(j, step, sub))
+        final = f"pc{j}_{train_iterations}"
+        parts.append(_pq_l2_assign_cte(f"code{j}", f"sub{j}", final, sub))
+        lut_dot = _flat_dot("q.qv", "c.cvec", sub)
+        parts.append(
+            f"lut{j} AS (SELECT c.cid, ({lut_dot}) AS v FROM {final} c, "
+            f"(SELECT {_pq_sub_expr(j, sub)} AS qv FROM embeddings"
+            f" WHERE vec_id = {query_vec_id}) q)"
+        )
+        approx_terms.append(f"l{j}.v")
+        joins.append(
+            f"JOIN code{j} c{j} ON c{j}.vec_id = e.vec_id "
+            f"JOIN lut{j} l{j} ON l{j}.cid = c{j}.cell"
+        )
+    approx_sum = " + ".join(approx_terms)
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + ", approx AS ("
+        f" SELECT e.vec_id, ({approx_sum}) AS score FROM embeddings e {' '.join(joins)}), "
+        "cand AS ("
+        " SELECT a.vec_id, e.embedding FROM ("
+        "  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM approx)"
+        f" a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn <= {k * refine}), "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        f"scored AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro FROM cand, q) "
+        "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
