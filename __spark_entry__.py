@@ -739,6 +739,34 @@ def q_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_ivf_index(spark, index_path, centroids, query, k=10, n_probe=4)
 
 
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ as a PERSISTED lake index (build_ivfpq_index →
+    search_ivfpq_index): coarse cells prune partitions at the scan, ADC
+    scores only the (id, codes) columns, exact refine broadcast-joins the
+    candidate ids — the production lake-ANN composition, mirrored by the
+    fully-relational ivf_pq_search_sql (IVF + PQ CTEs composed)."""
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index_path = os.path.join(_lazy_scratch_dir("ivfpq_index_"), "index.parquet")
+    centroids, codebooks = build_ivfpq_index(
+        emb,
+        index_path,
+        n_centroids=16,
+        n_subspaces=2,
+        n_codes=8,
+        ivf_train_iterations=2,
+        pq_train_iterations=1,
+    )
+    return search_ivfpq_index(
+        spark, index_path, centroids, codebooks, query, k=10, n_probe=4, refine=4
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.similarity import ivf_topk
 
@@ -1556,7 +1584,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "incremental_near_dup": q_incremental_near_dup,
         "ann_topk": q_ann_topk,
-        "ivf_index_search": q_ivf_index_search,
+        # ivf_pq_search covers the ivf_index_search family AND the PQ ADC
+        # path in one entry (partition pruning + code-only scan + refine);
+        # the flat ivf_index_search variant moved below the window
+        "ivf_pq_search": q_ivf_pq_search,
         # --- text-analysis / pipeline families ---
         "text_quality_profile": q_text_quality_profile,
         "fingerprints": q_fingerprints,
@@ -1585,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "ivf_index_search": q_ivf_index_search,
         "hot_bucket_report": q_hot_bucket_report,
         "training_pipeline": q_training_pipeline,
         "curation_pipeline": q_curation_pipeline,
@@ -1789,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
         "ivf_topk": _oracles.ivf_topk_sql(),
         "ivf_index_search": _oracles.ivf_topk_sql(),
+        "ivf_pq_search": _oracles.ivf_pq_search_sql(),
         "text_quality_profile": _oracles.text_quality_profile_sql(),
         "fingerprints": _oracles.fingerprint_sql(),
         "partitioned_pruned_scan": (

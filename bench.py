@@ -100,6 +100,36 @@ def main():
     timings["extract_typed_throughput"] = round(typed_elapsed, 3)
     total += typed_elapsed
 
+    # skew stress row: the SAME extraction over a Zipf(1)-host remap of the
+    # corpus (head host ~15% of rows), followed by the hot-host sketch +
+    # skew-safe two-phase per-host aggregation — the shape a Common-Crawl
+    # host distribution actually forces. Comparable to extract_throughput:
+    # a large gap would mean the skew machinery, not the kernel, is the
+    # bottleneck.
+    from dss_plugin_google_cloud_vision_spark.operators.skew import (
+        hot_hosts,
+        per_host_counts_two_phase,
+        zipf_host_remap,
+    )
+
+    zipf_path = "/tmp/bench_pages_zipf.parquet"
+    zipf_host_remap(stored).write.mode("overwrite").parquet(zipf_path)
+    zipf = spark.read.parquet(zipf_path)
+    hot = hot_hosts(zipf, threshold_fraction=0.01)
+
+    def zipf_pipeline():
+        # extraction first (narrow, payloads never shuffle — pages.py's
+        # drop-payload doctrine), THEN the salted two-phase host agg over
+        # the extracted rows; salted_repartition's placement correctness
+        # is pinned by tests/test_skew_stress.py, where pre-extraction
+        # host-colocation is actually required (politeness planning)
+        extracted = extract_pages(zipf, drop_payload=True)
+        return per_host_counts_two_phase(extracted, hot=hot, granularity="year")
+
+    zipf_elapsed = timed(zipf_pipeline)
+    timings["zipf_skew_extract"] = round(zipf_elapsed, 3)
+    total += zipf_elapsed
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # stdout carries ONE COMPACT headline line: the per-query map outgrew
     # the driver's tail capture in round 3 (BENCH_r03 recorded parsed:null),
@@ -112,6 +142,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
         "extract_docs_per_sec": round(docs_per_sec, 1),
         "extract_typed_docs_per_sec": round(BENCH_DOCS / typed_elapsed, 1),
+        "zipf_skew_docs_per_sec": round(BENCH_DOCS / zipf_elapsed, 1),
         "bench_docs": BENCH_DOCS,
         "cpus": CPUS,
     }

@@ -53,7 +53,16 @@ def pack_sequences(
         "_grp", F.floor(F.col(id_col) / group_size)
     )
     group_totals = base.groupBy("_grp").agg(F.sum("n_tokens").alias("_grp_tokens"))
-    w_groups = Window.orderBy("_grp").rowsBetween(Window.unboundedPreceding, -1)
+    # the prefix sum runs over GROUP TOTALS only (corpus/group_size rows,
+    # not the corpus) — single-partition by design; partitionBy(_grp % 1)
+    # (constant 0, but non-foldable so the optimizer can't strip it)
+    # keeps the "No Partition Defined" warning out of the logs while real
+    # full-table windows elsewhere still warn
+    w_groups = (
+        Window.partitionBy(F.col("_grp") % 1)
+        .orderBy("_grp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     group_offsets = group_totals.withColumn(
         "_grp_offset", F.coalesce(F.sum("_grp_tokens").over(w_groups), F.lit(0))
     ).select("_grp", "_grp_offset")

@@ -54,6 +54,29 @@ def cosine_micro(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b) * 1_000_000).cast("bigint")
 
 
+def _ranked_topk(
+    scored: DataFrame, k: int, id_col: str, score_col: str = "cos_micro"
+) -> DataFrame:
+    """Global top-k + rank column, shared by every ANN surface.
+
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject (per-partition
+    top-k merged on the driver — no global sort, no full-table window);
+    the rank window then touches only the k surviving rows.
+    ``partitionBy(id % 1)`` — constant 0, but NOT foldable, so Spark 4's
+    EliminateWindowPartitions can't strip it (a bare ``lit(0)`` is folded
+    away) — gives the window a non-empty partition spec and keeps the
+    "No Partition Defined for Window operation" warning out of the logs
+    for these by-design k-row windows, so a real full-table window
+    elsewhere still warns."""
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    w = Window.partitionBy(F.col(id_col) % 1).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vector: Sequence[float],
@@ -63,18 +86,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector; deterministic
     tie-break on id. Output: vec_id, cos_micro, rank."""
-    from pyspark.sql import Window
-
     query = F.array(*[F.lit(float(v)) for v in query_vector])
     scored = df.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
-    # orderBy().limit(k) plans as TakeOrderedAndProject (per-partition top-k,
-    # no global sort, no single-partition window over the full table); the
-    # rank window then only touches the k surviving rows
-    top = scored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topk(scored, k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -117,8 +133,6 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates share the query's signature in at
     least one band of hyperplane sign bits; exact cosine re-rank on the
     candidate set only. Output: vec_id, cos_micro, rank."""
-    from pyspark.sql import Window
-
     dim = len(query_vector)
     planes_per_band = n_planes // n_bands
     query = F.array(*[F.lit(float(v)) for v in query_vector])
@@ -146,9 +160,7 @@ def lsh_bucketed_topk(
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
-    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topk(rescored, k, id_col)
 
 
 def hyperplane_band_keys(
@@ -323,6 +335,28 @@ def train_centroids(
     return centroids
 
 
+def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """Driver-side strict left-fold dot — the identical IEEE chain as
+    dot_product / ivf_cell_udf / the DuckDB oracles, so probe selection
+    agrees bit-for-bit across engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _probe_cells(
+    centroids: List[List[float]], query_vector: Sequence[float], n_probe: int
+) -> List[int]:
+    """The query's ``n_probe`` nearest cells by (dot DESC, cid ASC) — the
+    shared probe rule of every IVF search surface."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda cid: (-_fold_dot(query_vector, centroids[cid]), cid),
+    )
+    return sorted(order[:n_probe])
+
+
 def ivf_topk(
     df: DataFrame,
     query_vector: Sequence[float],
@@ -346,20 +380,8 @@ def ivf_topk(
     on the driver over the same centroid doubles with the same left-fold
     order as the engines, so the DuckDB oracle's fully-relational mirror
     agrees bit-for-bit. Output: vec_id, cos_micro, rank."""
-    from pyspark.sql import Window
-
     centroids = train_centroids(df, n_centroids, train_iterations, id_col, vec_col)
-
-    def fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc
-
-    probe_order = sorted(
-        range(len(centroids)), key=lambda cid: (-fold_dot(query_vector, centroids[cid]), cid)
-    )
-    probes = set(probe_order[:n_probe])
+    probes = _probe_cells(centroids, query_vector, n_probe)
     query = F.array(*[F.lit(float(v)) for v in query_vector])
     candidates = assign_cells(df.select(id_col, vec_col), centroids, vec_col).filter(
         F.col("cell").isin(*probes)
@@ -367,9 +389,7 @@ def ivf_topk(
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
-    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topk(rescored, k, id_col)
 
 
 def build_ivf_index(
@@ -444,26 +464,13 @@ def search_ivf_index(
     cosine re-rank, TakeOrderedAndProject top-k. Identical results to
     ``ivf_topk`` on the same corpus/codebook (same probe rule, same
     left-fold arithmetic)."""
-    from pyspark.sql import Window
-
-    def fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc
-
-    probe_order = sorted(
-        range(len(centroids)), key=lambda cid: (-fold_dot(query_vector, centroids[cid]), cid)
-    )
-    probes = sorted(probe_order[:n_probe])
+    probes = _probe_cells(centroids, query_vector, n_probe)
     query = F.array(*[F.lit(float(v)) for v in query_vector])
     candidates = spark.read.parquet(index_path).filter(F.col("cell").isin(*probes))
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
-    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topk(rescored, k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -530,40 +537,36 @@ def encode_pq(
     return df.withColumn(code_col, F.array(*code_columns))
 
 
-def pq_topk(
-    encoded: DataFrame,
-    codebooks: List[List[List[float]]],
-    query_vector: Sequence[float],
-    k: int = 10,
-    refine: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    code_col: str = "pq_codes",
-) -> DataFrame:
-    """Asymmetric-distance PQ search: the query builds one lookup table
+def _adc_score_udf(
+    codebooks: List[List[List[float]]], query_vector: Sequence[float]
+):
+    """The asymmetric-distance (ADC) scoring kernel shared by ``pq_topk``
+    and ``search_ivfpq_index``: the query builds one lookup table
     LUT[j][c] = dot(query_j, centroid_jc) on the driver (n_subspaces ×
-    n_codes doubles — tiny); the approximate score of a vector is the sum
-    of m LUT lookups over its CODES — no float vectors are read in the
-    scan. The top ``k * refine`` candidates by approximate score are then
-    exact-cosine re-ranked (the standard ADC + refine design). Output:
-    vec_id, cos_micro, rank — same surface as the other ANN entries.
+    n_codes doubles — tiny, ships in the UDF closure); a vector's
+    approximate score is the left-fold sum of its m LUT lookups.
 
-    Scale shape: one narrow Arrow stage over the (id, codes) columns →
-    TakeOrderedAndProject(k*refine) → exact re-rank of a constant-size
-    candidate set. The scan reads bytes-per-vector, not floats."""
+    Vectorized per Arrow batch: the per-row work is only the NULL/NaN
+    validity check; the LUT gathers and adds run as ONE numpy op per
+    subspace over the whole batch, subspaces in order — the identical
+    left-associated IEEE chain as the oracle's ``l0.v + l1.v + ...`` at
+    ANY n_subspaces (never ``ndarray.sum()``, whose 8-way unrolled
+    accumulators diverge from a left fold above ~8 elements — CLAUDE.md).
+    ADC scan throughput is the entire point of PQ at 100 TB, so the
+    kernel must not loop per row."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
 
     sub = len(codebooks[0][0])
+    n_sub = len(codebooks)
     lut = np.array(
         [
             [
                 sum(float(query_vector[j * sub + d]) * float(c[d]) for d in range(sub))
                 for c in codebooks[j]
             ]
-            for j in range(len(codebooks))
+            for j in range(n_sub)
         ],
         dtype=np.float64,
     )
@@ -574,17 +577,35 @@ def pq_topk(
         # score them -inf so they never reach the candidate set — same
         # tolerance as search_ivf_index, where a NULL cell never matches
         out = np.full(len(values), -np.inf)
+        # per-row work is ONLY the null/shape guard (no per-row float
+        # conversion or NaN scan): integer-dtype rows are trusted as-is,
+        # and only object/other dtypes (NULL elements arrive as NaN via
+        # Arrow's nullable-int widening, or None in object arrays) pay
+        # the float64 coercion
+        idx = []
+        rows = []
         for i, code in enumerate(values):
             if code is None:
                 continue
-            # NULL elements arrive as NaN through Arrow (nullable ints
-            # widen to float) or as None in object arrays — float64 via
-            # NaN-check covers both before the int cast
-            arr = np.asarray(code, dtype=np.float64)
-            if arr.size == 0 or np.isnan(arr).any():
+            arr = np.asarray(code)
+            if arr.dtype.kind not in "iuf":
+                arr = np.asarray(code, dtype=np.float64)  # None -> NaN
+            if arr.shape != (n_sub,):
                 continue
-            codes_int = arr.astype(np.int64)
-            out[i] = lut[np.arange(len(codes_int)), codes_int].sum()
+            idx.append(i)
+            rows.append(arr)
+        if idx:
+            mat = np.stack(rows)  # any float row widens the whole batch
+            keep = np.asarray(idx)
+            if mat.dtype.kind == "f":
+                good = ~np.isnan(mat).any(axis=1)
+                mat, keep = mat[good], keep[good]
+            if keep.size:
+                mat = mat.astype(np.int64)
+                acc = lut[0, mat[:, 0]]
+                for j in range(1, n_sub):
+                    acc = acc + lut[j, mat[:, j]]
+                out[keep] = acc
         return pd.Series(out)
 
     adc_score.__annotations__ = {"codes": pd.Series, "return": pd.Series}
@@ -592,14 +613,128 @@ def pq_topk(
     # output surface, so no cross-engine hash concern), and the -inf
     # sentinel for absent vectors sorts itself last — a micro-int cast
     # would ANSI-overflow on it
+    return pandas_udf(adc_score, "double")
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: List[List[List[float]]],
+    query_vector: Sequence[float],
+    k: int = 10,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance PQ search (``_adc_score_udf``): score every
+    vector by its CODES — no float vectors are read in the scan — then
+    exact-cosine re-rank the top ``k * refine`` candidates (the standard
+    ADC + refine design). Output: vec_id, cos_micro, rank — same surface
+    as the other ANN entries.
+
+    Scale shape: one narrow Arrow stage over the (id, codes) columns →
+    TakeOrderedAndProject(k*refine) → exact re-rank of a constant-size
+    candidate set. The scan reads bytes-per-vector, not floats."""
     approx = encoded.withColumn(
-        "_approx", pandas_udf(adc_score, "double")(F.col(code_col))
+        "_approx", _adc_score_udf(codebooks, query_vector)(F.col(code_col))
     )
     candidates = approx.orderBy(F.desc("_approx"), F.asc(id_col)).limit(k * refine)
     query = F.array(*[F.lit(float(v)) for v in query_vector])
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
-    top = rescored.orderBy(F.desc("cos_micro"), F.asc(id_col)).limit(k)
-    w = Window.orderBy(F.desc("cos_micro"), F.asc(id_col))
-    return top.withColumn("rank", F.row_number().over(w))
+    return _ranked_topk(rescored, k, id_col)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    index_path: str,
+    n_centroids: int = 16,
+    n_subspaces: int = 2,
+    n_codes: int = 8,
+    ivf_train_iterations: int = 2,
+    pq_train_iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+):
+    """INGEST side of IVF-PQ — the production lake-ANN composition (Jégou
+    et al. 2011's IVFADC, re-expressed as a partitioned lake table): train
+    the coarse IVF codebook AND the per-subspace PQ codebooks, then
+    persist (id, embedding, pq_codes) hive-partitioned BY CELL.
+
+    A search then composes BOTH prunings: partition pruning to the probed
+    cells (reads ~n_probe/n_centroids of the files) × column pruning to
+    (id, codes) in the ADC stage (reads bytes-per-vector, not floats) —
+    at 100 TB that is the difference between scanning terabytes and
+    scanning a few gigabytes of codes. The float vectors stay in the same
+    rows for the exact-refine step only (a parquet column the ADC scan
+    never touches; a real deployment could tier them to cold storage).
+
+    PQ codebooks are trained on the RAW vectors, not IVF residuals —
+    residual encoding couples every code to its cell and is deliberately
+    traded away for codebook/oracle simplicity (documented divergence
+    from IVFADC; recall at small n_probe is slightly lower, the scan
+    shape is identical).
+
+    Returns ``(centroids, codebooks)`` — the two codebook artifacts a
+    search job ships exactly like any trained-model side input."""
+    centroids = train_centroids(
+        df, n_centroids, ivf_train_iterations, id_col, vec_col
+    )
+    codebooks = train_pq_codebooks(
+        df, n_subspaces, n_codes, pq_train_iterations, id_col, vec_col
+    )
+    encoded = encode_pq(
+        assign_cells(df, centroids, vec_col), codebooks, vec_col, code_col
+    )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    return centroids, codebooks
+
+
+def search_ivfpq_index(
+    spark,
+    index_path: str,
+    centroids: List[List[float]],
+    codebooks: List[List[List[float]]],
+    query_vector: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """SEARCH side of IVF-PQ over a ``build_ivfpq_index`` table:
+
+    1. probe the query's ``n_probe`` nearest cells (shared
+       ``_probe_cells`` rule) — PartitionFilters prune every other cell
+       directory at the scan (plan-asserted in tests);
+    2. ADC-score the pruned scan reading ONLY (id, codes) — column
+       pruning keeps the float vectors on disk;
+    3. TakeOrderedAndProject the top ``k * refine`` candidate ids;
+    4. exact-cosine refine: re-read (id, embedding) from the SAME pruned
+       cells and broadcast-join the candidate ids (k*refine rows — always
+       broadcastable), so the refine never shuffles the corpus either.
+
+    Identical results to ``pq_topk`` restricted to the probed cells (same
+    codebooks, same left-fold arithmetic, same tie-breaks). Output:
+    vec_id, cos_micro, rank."""
+    probes = _probe_cells(centroids, query_vector, n_probe)
+    pruned = spark.read.parquet(index_path).filter(F.col("cell").isin(*probes))
+    approx = pruned.select(F.col(id_col), F.col(code_col)).withColumn(
+        "_approx", _adc_score_udf(codebooks, query_vector)(F.col(code_col))
+    )
+    candidate_ids = (
+        approx.orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    query = F.array(*[F.lit(float(v)) for v in query_vector])
+    vectors = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(*probes)
+    ).select(F.col(id_col), F.col(vec_col))
+    rescored = vectors.join(F.broadcast(candidate_ids), id_col).select(
+        F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
+    )
+    return _ranked_topk(rescored, k, id_col)

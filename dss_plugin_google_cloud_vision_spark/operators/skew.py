@@ -105,6 +105,34 @@ def salted_repartition(
     return out.drop("_host", "_bucket", "_salt")
 
 
+def zipf_host_remap(
+    df: DataFrame, n_hosts: int = 500, url_col: str = "url"
+) -> DataFrame:
+    """Deterministically remap each row's url host to a Zipf(1)
+    distribution over ``n_hosts`` hosts (h1.example.com heads with
+    ~1/H_n of the mass): rank = floor(exp(u * ln(n_hosts))) for u = stable
+    hash of the original url in (0, 1) — inverse-CDF sampling of
+    P(rank = r) = ln(1 + 1/r)/ln(n_hosts) ≈ 1/(r ln n_hosts), so rank 1
+    heads with ln(2)/ln(n_hosts) of the mass (ceil would be off by one:
+    rank 1 could never occur). Test/bench harness for skew stress: builds
+    an actually heavy-tailed corpus from any url-keyed table without
+    touching payloads or timestamps."""
+    u = (F.pmod(F.xxhash64(url_col), F.lit(1_000_000)) + 0.5) / 1_000_000.0
+    rank = F.least(
+        F.floor(F.exp(u * F.log(F.lit(float(n_hosts))))).cast("int"),
+        F.lit(n_hosts),
+    )
+    return df.withColumn(
+        url_col,
+        F.concat(
+            F.lit("https://h"),
+            rank.cast("string"),
+            F.lit(".example.com/p/"),
+            F.md5(url_col),
+        ),
+    )
+
+
 def per_host_counts_two_phase(
     df: DataFrame,
     url_col: str = "url",

@@ -666,9 +666,15 @@ def grouped_exact_quantiles(
     )
     aggs = [F.max("n").cast("bigint").alias("n_rows")]
     for p in percentiles:
-        target = F.floor((F.col("n") * int(p) + 99) / 100)
+        # `div` keeps the rank target in PURE bigint arithmetic: Spark's
+        # `/` is double division, and above 2^53 (n*p+99 at per-group
+        # 1e14-row scale) the double rounds while the DuckDB mirror's
+        # integer `//` does not — the CLAUDE.md cross-engine rule
         aggs.append(
-            F.min(F.when(F.col("cum") >= target, F.col(value_col)))
+            F.expr(
+                f"min(CASE WHEN cum >= (n * {int(p)} + 99) div 100"
+                f" THEN `{value_col}` END)"
+            )
             .cast("bigint")
             .alias(f"p{int(p)}")
         )

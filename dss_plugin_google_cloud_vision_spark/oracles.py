@@ -1322,21 +1322,14 @@ def _pq_kmeans_step(j: int, step: int, sub: int) -> str:
     )
 
 
-def pq_topk_sql(
-    query_vec_id: int = 0,
-    k: int = 10,
-    n_subspaces: int = 2,
-    n_codes: int = 8,
-    train_iterations: int = 1,
-    refine: int = 4,
-    dim: int = 64,
-) -> str:
-    """Fully-relational mirror of the PQ pipeline (train_pq_codebooks →
-    encode_pq → pq_topk): per-subspace L2 k-means (lowest-id seeds, Lloyd
-    with micro-quantized sums), code assignment, the query's ADC lookup
-    table as a per-subspace dot against the trained centroids, candidate
-    selection by summed LUT values (raw doubles, identical left-fold
-    order), exact-cosine refine of the top k*refine."""
+def _pq_subspace_parts(
+    query_vec_id: int, n_subspaces: int, n_codes: int, train_iterations: int, dim: int
+):
+    """Per-subspace PQ CTEs shared by ``pq_topk_sql`` and
+    ``ivf_pq_search_sql``: subspace slices, L2 Lloyd training, code
+    assignment, and the query's ADC lookup table. Returns
+    ``(parts, approx_sum, joins)`` where ``approx_sum`` is the strict
+    left-fold `l0.v + l1.v + ...` ADC chain."""
     sub = dim // n_subspaces
     parts = []
     approx_terms = []
@@ -1366,7 +1359,27 @@ def pq_topk_sql(
             f"JOIN code{j} c{j} ON c{j}.vec_id = e.vec_id "
             f"JOIN lut{j} l{j} ON l{j}.cid = c{j}.cell"
         )
-    approx_sum = " + ".join(approx_terms)
+    return parts, " + ".join(approx_terms), joins
+
+
+def pq_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_subspaces: int = 2,
+    n_codes: int = 8,
+    train_iterations: int = 1,
+    refine: int = 4,
+    dim: int = 64,
+) -> str:
+    """Fully-relational mirror of the PQ pipeline (train_pq_codebooks →
+    encode_pq → pq_topk): per-subspace L2 k-means (lowest-id seeds, Lloyd
+    with micro-quantized sums), code assignment, the query's ADC lookup
+    table as a per-subspace dot against the trained centroids, candidate
+    selection by summed LUT values (raw doubles, identical left-fold
+    order), exact-cosine refine of the top k*refine."""
+    parts, approx_sum, joins = _pq_subspace_parts(
+        query_vec_id, n_subspaces, n_codes, train_iterations, dim
+    )
     return (
         "WITH "
         + ", ".join(parts)
@@ -1377,6 +1390,63 @@ def pq_topk_sql(
         "  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM approx)"
         f" a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn <= {k * refine}), "
         f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        f"scored AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro FROM cand, q) "
+        "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def ivf_pq_search_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 2,
+    n_codes: int = 8,
+    ivf_train_iterations: int = 2,
+    pq_train_iterations: int = 1,
+    refine: int = 4,
+    dim: int = 64,
+) -> str:
+    """Fully-relational mirror of the IVF-PQ lake index
+    (similarity.build_ivfpq_index → search_ivfpq_index): the IVF half is
+    ivf_topk_sql's codebook/assignment/probe CTEs verbatim; the PQ half is
+    pq_topk_sql's per-subspace CTEs verbatim; the ADC candidate stage
+    additionally restricts to the probed cells — exactly the partition
+    pruning the Spark side gets from the hive layout. Same left-fold
+    arithmetic throughout → identical codebooks, cells, probes, codes,
+    candidates and ranks."""
+    probe_dot = DOT.format(a="q.qv", b="c.cvec")
+    ivf_train = "".join(
+        ", " + _kmeans_step_ctes(s, dim) for s in range(1, ivf_train_iterations + 1)
+    )
+    final_cents = f"cents{ivf_train_iterations}"
+    pq_parts, approx_sum, pq_joins = _pq_subspace_parts(
+        query_vec_id, n_subspaces, n_codes, pq_train_iterations, dim
+    )
+    return (
+        "WITH cents0 AS ("
+        " SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,"
+        "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec"
+        f" FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_centroids}))"
+        f"{ivf_train}, "
+        f"{_assign_cte('assigned', final_cents)}, "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        "probes AS ("
+        " SELECT cid FROM ("
+        f"  SELECT c.cid, row_number() OVER (ORDER BY {probe_dot} DESC, c.cid) AS pr"
+        f"  FROM {final_cents} c, q) WHERE pr <= {n_probe}), "
+        + ", ".join(pq_parts)
+        + ", approx AS ("
+        f" SELECT e.vec_id, ({approx_sum}) AS score"
+        " FROM assigned e JOIN probes p ON e.cell = p.cid "
+        + " ".join(pq_joins)
+        + "), "
+        "cand AS ("
+        " SELECT a.vec_id, e.embedding FROM ("
+        "  SELECT vec_id, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM approx)"
+        f" a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn <= {k * refine}), "
         f"scored AS (SELECT vec_id, {_cos_micro('embedding', 'qv')} AS cos_micro FROM cand, q) "
         "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
         " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "

@@ -176,6 +176,56 @@ def test_ivf_index_search_prunes_cell_partitions(spark, tmp_path):
     assert len(cell_dirs) >= 2
 
 
+def test_ivfpq_search_prunes_partitions_and_broadcasts_refine(spark, tmp_path):
+    """The IVF-PQ lake index composes BOTH prunings: every scan in the
+    search (the ADC code scan AND the refine vector scan) carries a
+    PartitionFilters on cell; the ADC scan's ReadSchema must NOT include
+    the float vectors (column pruning — the scan reads codes, not
+    embeddings); the refine joins the k*refine candidate ids as a
+    BroadcastHashJoin, never shuffling the corpus."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + d * 3) % 13 - 6) for d in range(8)])
+            for i in range(120)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    query = [float(v) for v in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    index_path = str(tmp_path / "ivfpq")
+    centroids, codebooks = build_ivfpq_index(
+        emb,
+        index_path,
+        n_centroids=8,
+        n_subspaces=2,
+        n_codes=4,
+        ivf_train_iterations=1,
+        pq_train_iterations=1,
+    )
+    result = search_ivfpq_index(
+        spark, index_path, centroids, codebooks, query, k=5, n_probe=2
+    )
+    plan = _plan(result)
+    # both parquet scans are partition-pruned on cell
+    scans = plan.split("PartitionFilters")[1:]
+    assert len(scans) == 2, plan
+    assert all("cell" in s[:200] for s in scans), plan
+    # the ADC scan projects only (vec_id, pq_codes): no embedding column
+    read_schemas = [s[:400] for s in plan.split("ReadSchema:")[1:]]
+    assert any("pq_codes" in rs and "embedding" not in rs for rs in read_schemas), plan
+    assert "BroadcastHashJoin" in plan, plan
+    # rows: k results ranked 1..k with sane cos_micro bounds
+    rows = result.collect()
+    assert [r["rank"] for r in rows] == list(range(1, 6))
+    assert rows[0]["vec_id"] == 0 and rows[0]["cos_micro"] == 1_000_000
+
+
 def test_sampling_is_shuffle_free_and_quota_is_single_window(spark, sf_dir):
     """stratified_sample must be a pure row-local filter over the scan
     (zero Exchange); cap_per_group adds exactly the one window shuffle its
