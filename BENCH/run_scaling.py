@@ -31,6 +31,7 @@ import time
 import zipfile
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PRESERVE_MARKER = "<!-- hand-maintained below: preserved by run_scaling.py -->"
 sys.path.insert(0, REPO_ROOT)
 
 PAGES_DIR = "/tmp/scaling_pages.parquet"
@@ -228,8 +229,17 @@ Raw records:
 - 8→32: {json.dumps(pair_8_32)}
 - ceilings: {json.dumps(ceiling_2_8)}, {json.dumps(ceiling_8_32)}
 """
-    with open(os.path.join(REPO_ROOT, "BENCH", "BASELINE.md"), "w") as handle:
-        handle.write(md)
+    # Preserve hand-maintained sections (e.g. the sf0.1→sf1 data-scale
+    # gate) below the marker: only the generated scaling report above it
+    # is regenerated.
+    path = os.path.join(REPO_ROOT, "BENCH", "BASELINE.md")
+    kept = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if PRESERVE_MARKER in old:
+            kept = old[old.index(PRESERVE_MARKER):]
+    with open(path, "w") as handle:
+        handle.write(md + ("\n" + kept if kept else ""))
 
 
 if __name__ == "__main__":

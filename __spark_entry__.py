@@ -700,6 +700,21 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import semantic_dedup
+
+    # k-means blocking + within-cluster cosine marking: the planted ×2
+    # copies (cos exactly 1.0, same argmax-dot cluster as their source)
+    # are the rows flagged at the 0.95 paraphrase radius — base vectors
+    # are near-orthogonal (max pairwise cos ~0.51) so nothing else is
+    return semantic_dedup(
+        build_embedding_corpus(spark, sf_dir),
+        n_clusters=16,
+        n_iterations=2,
+        threshold_micro=950_000,
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
     row = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).collect()[0]
     return [float(v) for v in row["embedding"]]
@@ -1578,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "line_dedup": q_line_dedup,
         "duplicate_spans": q_duplicate_spans,
@@ -1599,14 +1615,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_subsample": q_corpus_subsample,
         "boilerplate_lines": q_boilerplate_lines,
         "pack_sequences": q_pack_sequences,
-        "chunk_documents": q_chunk_documents,
         "session_stats": q_session_stats,
         "event_windows": q_event_windows,
         "web_curation_pipeline": q_web_curation,
         "media_features": q_media_features,
         # ---- driver window ends here (50) — variants below ----
         # (web_blocklist/min_score: P4 and P2 are exercised inside
-        # vision_formatters and content_topk_formatter's in-window oracles)
+        # vision_formatters and content_topk_formatter's in-window oracles;
+        # chunk_documents is the stride variant of the pack_sequences
+        # packing family — displaced by semantic_dedup, round 5)
+        "chunk_documents": q_chunk_documents,
         "web_blocklist_formatter": q_web_blocklist_formatter,
         "min_score_filter": q_min_score_filter,
         "extract_lang_chars": q_extract_lang_chars,
@@ -1817,6 +1835,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracles.simhash_sql(),
         "simhash_near_dups": _oracles.simhash_near_dup_sql(),
         "embedding_near_dups": _oracles.embedding_near_dup_sql(threshold_micro=990_000),
+        "semantic_dedup": _oracles.semantic_dedup_sql(
+            n_clusters=16, train_iterations=2, threshold_micro=950_000
+        ),
         "ann_topk": _oracles.ann_topk_sql(),
         "lsh_ann_topk": _oracles.lsh_ann_topk_sql(),
         "ivf_topk": _oracles.ivf_topk_sql(),

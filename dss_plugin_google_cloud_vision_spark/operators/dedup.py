@@ -954,3 +954,78 @@ def duplicate_span_removal(
         F.count("*").cast("bigint").alias("n_tokens_kept"),
         F.first("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_iterations: int = 2,
+    threshold_micro: int = 950_000,
+    centroids: List[List[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters are the blocking structure —
+    pairwise cosine is computed ONLY within a cluster, and a row is a
+    semantic duplicate if some LOWER-id row of its cluster is within the
+    paraphrase radius (cosine ≥ threshold). The greedy lowest-id keep
+    rule is deterministic and keeps the minimum id of every duplicate
+    group; unlike ``embedding_near_dup_pairs`` (LSH bands, tight 0.99
+    radius for near-copies) the cluster blocking stays effective at the
+    loose radii semantic dedup runs at, where hyperplane bands lose
+    their selectivity.
+
+    Returns one row per input row: (id, cluster, is_semantic_dup).
+
+    Scale shape: training is ``similarity.train_centroids`` (narrow
+    Arrow assignment + k-row partial-agg collects — the broadcast-build
+    pattern); marking is ONE equi-join shuffle keyed on the cluster id.
+    Per-cluster pair work is (n/k)²·k = n²/k, so k scales WITH the
+    corpus (SemDeDup trains k ≈ 0.1·√n clusters at 100-TB scale; pass
+    pre-trained ``centroids`` to skip training, exactly how a production
+    codebook ships). Null embeddings get a NULL cluster and are never
+    flagged. No CartesianProduct anywhere (asserted in
+    tests/test_plan_quality.py).
+
+    Cross-engine determinism: cluster assignment is the bit-exact
+    left-fold argmax of ``similarity.ivf_cell_udf``; pair cosine is the
+    L2-normalize-once + single-dot chain of ``embedding_near_dup_pairs``
+    — both already mirrored in oracles.py."""
+    from .similarity import assign_cells, dot_product, norm, train_centroids
+
+    if centroids is None:
+        centroids = train_centroids(df, n_clusters, n_iterations, id_col, vec_col)
+    assigned = assign_cells(
+        df.select(id_col, vec_col), centroids, vec_col, cell_name="cluster"
+    )
+    normed = assigned.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col("cluster"), norm(F.col(vec_col)).alias("_n"), F.col(vec_col)
+    ).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("_e"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("_a"), F.col("cluster"), F.col("_e").alias("_ea")
+    )
+    b = normed.select(
+        F.col(id_col).alias("_b"), F.col("cluster"), F.col("_e").alias("_eb")
+    )
+    cos_micro = F.round(dot_product(F.col("_ea"), F.col("_eb")) * 1_000_000).cast("bigint")
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(cos_micro >= threshold_micro)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_semantic_dup"),
+        )
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from .functions.langid import LANG_STOPWORDS
 from .operators.dedup import (
     DEFAULT_BANDS,
+    DEFAULT_MAX_BAND_BUCKET,
     DEFAULT_N_HASHES,
     DEFAULT_SHINGLE_K,
     SIMHASH_BANDS,
@@ -38,7 +39,7 @@ CORPUS_CTE = (
 def shingle_cte(source: str = "corpus", k: int = DEFAULT_SHINGLE_K, name: str = "sh") -> str:
     parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
     return (
-        f"{name} AS ("
+        f"{name} AS MATERIALIZED ("
         f" SELECT DISTINCT doc_id, shingle FROM ("
         f"  SELECT doc_id, unnest(CASE WHEN len(tokens) >= {k}"
         f"   THEN list_transform(generate_series(1, len(tokens)-{k - 1}), i -> {parts})"
@@ -61,7 +62,7 @@ def _sig_cte(n_hashes: int = DEFAULT_N_HASHES, src: str = "sh", name: str = "sig
     mins = ", ".join(
         f"min(md5('{s}#' || shingle)) AS h{s}" for s in range(n_hashes)
     )
-    return f"{name} AS (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id)"
+    return f"{name} AS MATERIALIZED (SELECT doc_id, {mins} FROM {src} GROUP BY doc_id)"
 
 
 def _bands_cte(
@@ -75,14 +76,35 @@ def _bands_cte(
     for b in range(bands):
         cols = " || '|' || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
         selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS band_key FROM {src}")
-    return f"{name} AS (" + " UNION ALL ".join(selects) + ")"
+    return f"{name} AS MATERIALIZED (" + " UNION ALL ".join(selects) + ")"
+
+
+def _capped_cte(
+    name: str,
+    src: str,
+    keys: str = "band, band_key",
+    cap: int = DEFAULT_MAX_BAND_BUCKET,
+) -> str:
+    """Mirror of operators.dedup._drop_oversized_buckets: drop every row
+    of a band bucket larger than ``cap``. The rule is a pure count over
+    the same rows both engines see, so it is engine-agnostic — but it
+    MUST be mirrored wherever the Spark side caps (invisible at sf0.01,
+    a real divergence the first time a templated-text corpus floods a
+    16-bit simhash band at sf0.1)."""
+    return (
+        f"{name} AS MATERIALIZED ("
+        f" SELECT s.* FROM {src} s"
+        f" JOIN (SELECT {keys} FROM {src} GROUP BY {keys}"
+        f"  HAVING count(*) <= {cap}) k USING ({keys}))"
+    )
 
 
 def minhash_candidates_sql() -> str:
     return (
-        f"WITH {CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()} "
+        f"WITH {CORPUS_CTE}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
+        f"{_capped_cte('bands_k', 'bands')} "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM bands a JOIN bands b "
+        "FROM bands_k a JOIN bands_k b "
         "ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
     )
 
@@ -93,9 +115,10 @@ def _near_dup_pairs_ctes(threshold_milli: int = 800, corpus_cte: str = CORPUS_CT
     with at least (doc_id, text))."""
     return (
         f"{corpus_cte}, {shingle_cte()}, {_sig_cte()}, {_bands_cte()}, "
-        "cand AS ("
+        f"{_capped_cte('bands_k', 'bands')}, "
+        "cand AS MATERIALIZED ("
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        " FROM bands a JOIN bands b"
+        " FROM bands_k a JOIN bands_k b"
         " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
         "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
         "inter AS ("
@@ -177,10 +200,11 @@ def simhash_near_dup_sql(max_hamming: int = 3, bands: int = SIMHASH_BANDS) -> st
     )
     return (
         f"WITH {CORPUS_CTE}, {_simhash_ctes('corpus')}, "
-        f"banded AS ({band_selects}) "
+        f"banded AS ({band_selects}), "
+        f"{_capped_cte('banded_k', 'banded', keys='band, key')} "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         " cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming "
-        "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+        "FROM banded_k a JOIN banded_k b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
@@ -315,7 +339,7 @@ def _assign_cte(name: str, cents: str, source: str = "embeddings", dim: int = 64
     )
 
 
-def _kmeans_step_ctes(step: int, dim: int) -> str:
+def _kmeans_step_ctes(step: int, dim: int, source: str = "embeddings") -> str:
     """One Lloyd iteration: assignment against cents{step-1} → per-cell
     micro-quantized integer component sums (order-independent, so Spark's
     partial aggregation agrees bit-for-bit) → cents{step} as
@@ -327,7 +351,7 @@ def _kmeans_step_ctes(step: int, dim: int) -> str:
     )
     mean_list = ", ".join(f"(cast(m.s{d} AS double) / m.n) / 1000000.0" for d in range(dim))
     return (
-        f"{_assign_cte(f'a{step - 1}', f'cents{step - 1}')}, "
+        f"{_assign_cte(f'a{step - 1}', f'cents{step - 1}', source=source)}, "
         f"m{step} AS (SELECT cell, count(*) AS n, {sums} FROM a{step - 1} GROUP BY cell), "
         f"cents{step} AS ("
         " SELECT c.cid,"
@@ -370,6 +394,46 @@ def ivf_topk_sql(
         "SELECT vec_id, cos_micro, cast(rank AS int) AS rank FROM ("
         " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
         f"WHERE rank <= {k}"
+    )
+
+
+def semantic_dedup_sql(
+    n_clusters: int = 16,
+    train_iterations: int = 2,
+    threshold_micro: int = 950_000,
+    dim: int = 64,
+) -> str:
+    """Fully-relational mirror of operators.dedup.semantic_dedup over the
+    planted embedding corpus (EMB_CORPUS_CTE): lowest-id-seeded Lloyd
+    training (micro-quantized integer sums), argmax-dot cluster
+    assignment, L2-normalize once, within-cluster lower-id pair marking.
+    Identical double fold order on both engines → identical clusters and
+    flags bit-for-bit."""
+    train = "".join(
+        ", " + _kmeans_step_ctes(s, dim, source="ecorp")
+        for s in range(1, train_iterations + 1)
+    )
+    final_cents = f"cents{train_iterations}"
+    pair_dot = DOT.format(a="a.e", b="b.e")
+    return (
+        f"WITH {EMB_CORPUS_CTE}, "
+        "ecorp AS (SELECT vec_id, emb AS embedding FROM ecorpus), "
+        "cents0 AS ("
+        " SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec"
+        f" FROM (SELECT vec_id, embedding FROM ecorp ORDER BY vec_id LIMIT {n_clusters}))"
+        f"{train}, "
+        f"{_assign_cte('assigned', final_cents, source='ecorp')}, "
+        "normed AS ("
+        " SELECT vec_id, cell, list_transform(embedding, x -> x / n) AS e"
+        f" FROM (SELECT vec_id, cell, embedding,"
+        f"  sqrt({DOT.format(a='embedding', b='embedding')}) AS n FROM assigned)), "
+        "dups AS ("
+        " SELECT DISTINCT b.vec_id FROM normed a JOIN normed b"
+        " ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        f" WHERE cast(round({pair_dot} * 1000000) AS bigint) >= {threshold_micro}) "
+        "SELECT s.vec_id, cast(s.cell AS int) AS cluster, "
+        "(d.vec_id IS NOT NULL) AS is_semantic_dup "
+        "FROM assigned s LEFT JOIN dups d ON d.vec_id = s.vec_id"
     )
 
 
@@ -611,9 +675,10 @@ def incremental_near_dup_sql(threshold_milli: int = 800) -> str:
     near-dups of a corpus row (via cross band collisions) nor doc_b of a
     verified within-increment pair."""
     inc_pairs = (
+        f"{_capped_cte('bands_ik', 'bands_i')}, "
         "icand AS ("
         " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        " FROM bands_i a JOIN bands_i b"
+        " FROM bands_ik a JOIN bands_ik b"
         " ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
         "isizes AS (SELECT doc_id, count(*) AS n FROM sh_i GROUP BY doc_id), "
         "iinter AS ("
@@ -628,9 +693,10 @@ def incremental_near_dup_sql(threshold_milli: int = 800) -> str:
         f" WHERE i.inter_size * 1000 >= {threshold_milli} * (sa.n + sb.n - i.inter_size))"
     )
     cross = (
+        f"{_capped_cte('bands_ck', 'bands_c')}, "
         "xcand AS ("
         " SELECT DISTINCT i.doc_id AS doc_i, c.doc_id AS doc_c"
-        " FROM bands_i i JOIN bands_c c"
+        " FROM bands_i i JOIN bands_ck c"
         " ON i.band = c.band AND i.band_key = c.band_key), "
         "csizes AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id), "
         "xinter AS ("

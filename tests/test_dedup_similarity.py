@@ -1001,3 +1001,60 @@ def test_pq_search_tolerates_null_embeddings(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="empty corpus"):
         train_pq_codebooks(emb.filter(F.lit(False)), n_subspaces=n_sub)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style cluster-blocked cosine marking)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_cluster_blocking_and_keep_rule(spark):
+    """Pre-trained centroids path: flags exactly the rows with a LOWER-id
+    same-cluster neighbor inside the paraphrase radius; a high-cosine pair
+    split ACROSS clusters is never compared (blocking semantics, the
+    SemDeDup trade); null embeddings get a NULL cluster and False."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # cluster 0 anchor
+        (1, [0.9, 0.1, 0.0, 0.0]),   # cos(0,1) ~ 0.9939 -> dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # cluster 1 anchor
+        (3, [0.0, 0.95, 0.05, 0.0]), # cos(2,3) ~ 0.9986 -> dup of 2
+        (4, [0.5, 0.0, 0.5, 0.0]),   # cluster 0, cos(0,4) ~ 0.707 -> kept
+        (5, None),                   # null embedding -> NULL cluster, False
+        (6, [0.6, 0.5, 0.0, 0.0]),   # cluster 0 } cos(6,7) ~ 0.9836 but
+        (7, [0.5, 0.6, 0.0, 0.0]),   # cluster 1 } different cells: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(3)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    got = {
+        r["vec_id"]: (r["cluster"], r["is_semantic_dup"])
+        for r in semantic_dedup(df, centroids=cents).collect()
+    }
+    assert got == {
+        0: (0, False),
+        1: (0, True),
+        2: (1, False),
+        3: (1, True),
+        4: (0, False),
+        5: (None, False),
+        6: (0, False),
+        7: (1, False),
+    }
+
+
+def test_semantic_dedup_trained_is_deterministic(spark, sf_dir):
+    """Trained path (lowest-id-seeded Lloyd): two runs over the same input
+    produce identical flags — no sampling, no RNG anywhere."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    runs = [
+        sorted(
+            (r["vec_id"], r["cluster"], r["is_semantic_dup"])
+            for r in semantic_dedup(emb, n_clusters=4, n_iterations=2).collect()
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]
+    assert len(runs[0]) == emb.count()

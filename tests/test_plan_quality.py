@@ -99,6 +99,20 @@ def test_embedding_near_dup_has_no_cartesian_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_semantic_dedup_has_no_cartesian_product(spark, sf_dir):
+    """semantic_dedup's pair work must be blocked by the cluster id — an
+    equi-join on `cluster`, never an all-pairs product (per-cluster cost
+    n²/k is the whole SemDeDup scaling argument)."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cents = [[1.0 if d == c else 0.0 for d in range(dim)] for c in range(4)]
+    plan = _plan(semantic_dedup(emb, centroids=cents))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_ann_topk_uses_take_ordered(spark, sf_dir):
     """Global top-k must plan as TakeOrderedAndProject (per-partition k,
     no full sort / no full-table single-partition window)."""

@@ -13,6 +13,16 @@ recomputed to stay consistent; embeddings replicate exactly (id
 tie-breaks make every ANN surface deterministic under duplicate
 vectors).
 
+The replica tail is TWENTY distinct tokens, not one: with a 1-token
+suffix every replica pair of a family is a near-dup (Jaccard ≈ 0.95) and
+the corpus's near-dup PAIR count grows quadratically in the replication
+factor — 10× rows became ~50× pairs and the scale gate's ≤15×-per-query
+criterion false-alarmed on every pair-producing query. Twenty tail
+tokens on EVERY replica (r=0 included — an untailed original vs a tailed
+replica halves the union growth) keep cross-replica Jaccard under 0.8 up
+to ~178-token base docs (corpus max is 100), so sf1 keeps sf0.1's near-dup DENSITY (only the
+oracle-planted copies) and pair outputs scale linearly with rows.
+
 Both engines read the SAME parquet output, so every oracle comparison
 stays an apples-to-apples mirror at the new scale.
 
@@ -45,12 +55,22 @@ def main() -> None:
         print(f"{table}: {n} rows")
 
     r = f"range({REPLICAS}) t(r)"
+    # 20 DOC-UNIQUE tokens: cross-replica Jaccard > 0.8 would need base
+    # docs > ~178 tokens (corpus max is 100), so no family pair is a
+    # near-dup; and because every token embeds the replica's OWN doc_id,
+    # no two documents share a tail shingle — a replica-shared tail
+    # (first attempt) acted as 20-token boilerplate and blew candidate
+    # pairs up 800x through band collisions
+    tail_tokens = ", ".join(f"'z'||(doc_id + r * 5000)||'t{j}'" for j in range(20))
+    tail = f"' ' || concat_ws(' ', {tail_tokens})"
+    # EVERY replica gets a tail (including r=0): an untailed original
+    # against a tailed replica halves the union growth and tips long
+    # docs back over the 0.8 threshold
     copy(
         "SELECT doc_id + r * 5000 AS doc_id, "
-        " CASE WHEN r = 0 THEN text ELSE text || ' zrep' || r END AS text, "
+        f" text || {tail} AS text, "
         " lang, source, "
-        " CAST(length(CASE WHEN r = 0 THEN text ELSE text || ' zrep' || r END) AS BIGINT)"
-        "  AS n_chars "
+        f" CAST(length(text || {tail}) AS BIGINT) AS n_chars "
         f"FROM '{SRC}/documents.parquet', {r}",
         "documents",
     )
