@@ -1064,6 +1064,60 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_rarity_table(_table(spark, sf_dir, "documents"))
 
 
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed unigram+bigram bucket profile,
+    one-pass raw/target bucket counts (target = English slice), smoothed
+    integer ratio weights broadcast back over occurrences, per-document
+    importance rollup. The bucket table is 4096 rows at ANY corpus size —
+    the hash uniformizes Zipf keys, so the only corpus-scale shuffle is
+    the map-combined per-doc aggregate."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.selection import dsir_importance_table
+
+    return dsir_importance_table(
+        _table(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )
+
+
+def q_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget head selection: stopword-quality score (row-local),
+    then documents kept in (score DESC, id) order until 10k tokens — the
+    'fill the training budget' step, via the NESTED two-phase prefix sum
+    (score-grain totals + bounded in-group windows; small group_size so
+    the multi-group path is really exercised)."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.selection import budget_head
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import quality_columns
+
+    docs = _table(spark, sf_dir, "documents")
+    cols = quality_columns("text")
+    scored = docs.select(
+        F.col("doc_id"),
+        cols["stopword_ratio_milli"].alias("score"),
+        cols["n_tokens"].alias("n_tokens"),
+    )
+    return budget_head(scored, budget_tokens=10_000, group_size=64)
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-record stream parsing (Common-Crawl-native ingest): documents
+    are serialized into 16 concatenated WARC-style shard streams
+    (deterministic synthesis), then the mapInPandas boundary scanner
+    recovers every record's byte offset/length/payload digest. The oracle
+    PREDICTS the parser's output analytically (prefix sums over computed
+    record byte lengths) — the parser is checked against arithmetic,
+    never against itself."""
+    from dss_plugin_google_cloud_vision_spark.sources.warc import (
+        build_warc_shards,
+        parse_warc_stream,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return parse_warc_stream(build_warc_shards(docs, n_shards=16))
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking with overlap (chunk 64, stride 48): row-local
     sequence+transform+explode, no shuffle — the RAG/long-context
@@ -1608,7 +1662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_profile": q_text_quality_profile,
         "fingerprints": q_fingerprints,
         "gopher_quality": q_gopher_quality,
-        "token_rarity": q_token_rarity,
+        # dsir_importance is the data-selection family rep (hashed-ngram
+        # importance weighting); token_rarity moved below the window —
+        # its corpus-frequency-scoring family stays represented in-window
+        # by trigram_predictability
+        "dsir_importance": q_dsir_importance,
         "trigram_predictability": q_trigram_predictability,
         "doc_signals": q_doc_signals,
         "url_canonicalize": q_url_canonicalize,
@@ -1616,7 +1674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "pack_sequences": q_pack_sequences,
         "session_stats": q_session_stats,
-        "event_windows": q_event_windows,
+        # warc_records is the Common-Crawl-native ingest family rep
+        # (record-boundary scan, analytic offset oracle); event_windows
+        # moved below the window — the event-time family stays
+        # represented in-window by session_stats
+        "warc_records": q_warc_records,
         "web_curation_pipeline": q_web_curation,
         "media_features": q_media_features,
         # ---- driver window ends here (50) — variants below ----
@@ -1625,6 +1687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chunk_documents is the stride variant of the pack_sequences
         # packing family — displaced by semantic_dedup, round 5)
         "chunk_documents": q_chunk_documents,
+        "token_rarity": q_token_rarity,
+        "event_windows": q_event_windows,
+        "budget_head": q_budget_head,
         "web_blocklist_formatter": q_web_blocklist_formatter,
         "min_score_filter": q_min_score_filter,
         "extract_lang_chars": q_extract_lang_chars,
@@ -1871,6 +1936,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _oracles.pack_sequences_sql(budget_tokens=512),
         "chunk_documents": _oracles.chunk_documents_sql(chunk_tokens=64, stride_tokens=48),
         "token_rarity": _oracles.token_rarity_sql(),
+        "dsir_importance": _oracles.dsir_importance_sql(),
+        "budget_head": _oracles.budget_head_sql(budget_tokens=10_000),
+        "warc_records": _oracles.warc_records_sql(n_shards=16),
         "web_curation_pipeline": _oracles.web_curation_sql(),
         "gopher_multilingual": _oracles.gopher_multilingual_sql(),
         "bigram_predictability": _oracles.bigram_predictability_sql(),

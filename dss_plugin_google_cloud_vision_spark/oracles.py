@@ -1518,3 +1518,80 @@ def ivf_pq_search_sql(
         " SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) AS rank FROM scored) "
         f"WHERE rank <= {k}"
     )
+
+
+def dsir_importance_sql(
+    target_lang: str = "en",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    seed: int = 7,
+) -> str:
+    """Mirror of operators.selection.dsir_importance_table with
+    ``target_pred = lang == target_lang``: hashed unigram+bigram buckets
+    (same md5-prefix coordinate as the shard oracle), one-pass raw/target
+    bucket counts, smoothed integer ratio weights, per-document rollup.
+    Pure bigint ``//`` division on both sides (the CLAUDE.md rule)."""
+    return (
+        "WITH t AS ("
+        f" SELECT doc_id, CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END AS tgt,"
+        " string_split(text, ' ') AS toks FROM documents), "
+        "occ AS ("
+        " SELECT doc_id, tgt,"
+        f" cast(('0x' || substr(md5('{seed}:' || ng), 1, 8))::bigint % {n_buckets} AS int) AS bucket"
+        " FROM ("
+        "  SELECT doc_id, tgt, unnest(list_concat(toks,"
+        "   CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),"
+        "    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END)) AS ng FROM t)), "
+        "bs AS (SELECT bucket, count(*) AS cnt_all, sum(tgt) AS cnt_target"
+        " FROM occ GROUP BY bucket), "
+        "w AS (SELECT bucket,"
+        f" cast((cnt_target + 1) * {scale} // (cnt_all + 1) AS bigint) AS weight_micro FROM bs) "
+        "SELECT occ.doc_id, cast(count(*) AS bigint) AS n_ngrams, "
+        "cast(sum(weight_micro) AS bigint) AS score_micro_sum, "
+        "cast(sum(weight_micro) // count(*) AS bigint) AS importance_micro "
+        "FROM occ JOIN w USING (bucket) GROUP BY occ.doc_id"
+    )
+
+
+def budget_head_sql(budget_tokens: int = 10_000) -> str:
+    """Mirror of the q_budget_head composition: stopword-ratio quality
+    score (the quality_sql fragment) ordered DESC with doc_id tiebreak,
+    naive global ordered cumsum — value-identical to the operator's
+    nested two-phase prefix sum."""
+    en_list = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return (
+        "WITH q AS ("
+        " SELECT doc_id,"
+        " cast(CASE WHEN len(string_split(text, ' ')) > 0 THEN"
+        f"  round(len(list_filter(string_split(text, ' '), w -> lower(w) IN ({en_list})))"
+        "   * 1000.0 / len(string_split(text, ' '))) ELSE 0 END AS bigint) AS score,"
+        " cast(len(string_split(text, ' ')) AS bigint) AS n_tokens FROM documents), "
+        "c AS ("
+        " SELECT *, coalesce(sum(n_tokens) OVER ("
+        "  ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "  AS cum_tokens_before FROM q) "
+        "SELECT doc_id, score, n_tokens, cast(cum_tokens_before AS bigint) AS cum_tokens_before, "
+        f"cast(CASE WHEN cum_tokens_before < {budget_tokens} THEN 1 ELSE 0 END AS int) AS selected "
+        "FROM c"
+    )
+
+
+def warc_records_sql(n_shards: int = 16) -> str:
+    """ANALYTIC mirror of q_warc_records: the parser's output predicted
+    from generation arithmetic alone (never by parsing). Record byte
+    length = 48 fixed header chars + decimal widths of id and
+    content-length + payload bytes + 4 trailer bytes; offsets are per-
+    shard prefix sums in id order. DuckDB ``strlen`` is byte length
+    (Spark ``octet_length``) — CJK payloads round-trip."""
+    return (
+        "WITH r AS ("
+        f" SELECT doc_id, cast(doc_id % {n_shards} AS int) AS shard, md5(text) AS pm,"
+        " 48 + length(cast(doc_id AS varchar)) + length(cast(strlen(text) AS varchar))"
+        "  + strlen(text) + 4 AS rec_len FROM documents), "
+        "o AS ("
+        " SELECT *, coalesce(sum(rec_len) OVER ("
+        "  PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "  AS off FROM r) "
+        'SELECT shard, cast(doc_id AS bigint) AS rec_id, cast(off AS bigint) AS "offset", '
+        'cast(rec_len AS bigint) AS "length", pm AS payload_md5, \'\' AS error FROM o'
+    )

@@ -296,3 +296,42 @@ def test_grouped_quantiles_window_runs_on_histogram(spark, sf_dir):
     window_pos = plan.index("Window")
     agg_positions = [i for i in range(len(plan)) if plan.startswith("HashAggregate", i)]
     assert any(i > window_pos for i in agg_positions), plan
+
+
+def test_dsir_weight_join_is_broadcast(spark, sf_dir):
+    """The 4096-row bucket weight table must broadcast to the occurrence
+    side — the occurrence stream never shuffles on the Zipf-origin
+    (hash-uniformized) bucket key."""
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        dsir_importance_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dsir_importance_table(docs, target_pred=F.col("lang") == "en")
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_budget_head_windows_are_partitioned(spark, sf_dir):
+    """Both cumsum windows must be keyed: the totals prefix runs over the
+    (score, group) grain table and the in-group window partitions by
+    (score, _grp) — no corpus-row window may run in one global partition
+    (every Window node in the plan carries a partition spec)."""
+    from dss_plugin_google_cloud_vision_spark.operators.selection import budget_head
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", (F.col("n_chars") % 100).alias("score"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    plan = _plan(budget_head(scored, budget_tokens=1000, group_size=64))
+    assert "windowspecdefinition(" in plan, plan
+    for frag in plan.split("Window ")[1:]:
+        # node prints: [exprs], [partitionSpec], [orderSpec] — an empty
+        # partition spec would render as ", [], ["
+        head = frag.split("\n")[0]
+        assert ", [], [" not in head, (
+            "window with empty partition spec in budget_head plan: " + head
+        )

@@ -1,0 +1,219 @@
+# -*- coding: utf-8 -*-
+"""Selection operators (DSIR importance, budget head) and the WARC
+record-stream parser."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dss_plugin_google_cloud_vision_spark.operators.selection import (
+    budget_head,
+    dsir_importance_table,
+    hashed_ngram_bucket,
+    ngram_strings,
+)
+from dss_plugin_google_cloud_vision_spark.sources.warc import (
+    _scan_blob,
+    build_warc_shards,
+    parse_warc_stream,
+    warc_record_column,
+)
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t, lang=g) for i, t, g in rows])
+
+
+def test_ngram_strings_unigrams_and_bigrams(spark):
+    out = (
+        spark.createDataFrame([Row(text="a b c")])
+        .select(ngram_strings("text").alias("ng"))
+        .head()["ng"]
+    )
+    assert out == ["a", "b", "c", "a b", "b c"]
+
+
+def test_ngram_strings_single_token(spark):
+    out = (
+        spark.createDataFrame([Row(text="solo")])
+        .select(ngram_strings("text").alias("ng"))
+        .head()["ng"]
+    )
+    assert out == ["solo"]
+
+
+def test_hashed_bucket_range_and_determinism(spark):
+    df = spark.createDataFrame([Row(s=f"tok{i}") for i in range(200)])
+    buckets = [
+        r["b"] for r in df.select(hashed_ngram_bucket(F.col("s"), 64, 7).alias("b")).collect()
+    ]
+    assert all(0 <= b < 64 for b in buckets)
+    again = [
+        r["b"] for r in df.select(hashed_ngram_bucket(F.col("s"), 64, 7).alias("b")).collect()
+    ]
+    assert buckets == again
+    # a different seed must move at least one bucket
+    moved = [
+        r["b"] for r in df.select(hashed_ngram_bucket(F.col("s"), 64, 8).alias("b")).collect()
+    ]
+    assert moved != buckets
+
+
+def test_dsir_target_docs_outscore_offtarget(spark):
+    # target-language docs share a vocabulary; off-target docs another.
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(8)]
+    rows += [(10 + i, "zork quux blarg frotz", "xx") for i in range(8)]
+    out = {
+        r["doc_id"]: r["importance_micro"]
+        for r in dsir_importance_table(
+            _docs(spark, rows), target_pred=F.col("lang") == "en", n_buckets=256
+        ).collect()
+    }
+    en_scores = {out[i] for i in range(8)}
+    xx_scores = {out[10 + i] for i in range(8)}
+    assert len(en_scores) == 1 and len(xx_scores) == 1
+    assert en_scores.pop() > xx_scores.pop()
+
+
+def test_dsir_weight_arithmetic_exact(spark):
+    # one doc, one token -> one unigram in one bucket; weight is
+    # div((cnt_target+1)*scale, cnt_all+1) = div(2*1000, 2) = 1000
+    out = dsir_importance_table(
+        _docs(spark, [(1, "x", "en")]),
+        target_pred=F.col("lang") == "en",
+        n_buckets=16,
+        scale=1000,
+    ).head()
+    assert out["n_ngrams"] == 1
+    assert out["score_micro_sum"] == 1000
+    assert out["importance_micro"] == 1000
+
+
+def test_dsir_every_doc_scored(spark):
+    # empty text still yields one ('' unigram) ngram — no doc drops out
+    rows = [(1, "", "en"), (2, "a b", "fr")]
+    out = dsir_importance_table(
+        _docs(spark, rows), target_pred=F.col("lang") == "en", n_buckets=16
+    )
+    assert out.count() == 2
+
+
+# ---------------------------------------------------------- budget head
+
+
+def _naive_budget(rows, budget):
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, out = 0, {}
+    for doc_id, score, nt in ordered:
+        out[doc_id] = (cum, 1 if cum < budget else 0)
+        cum += nt
+    return out
+
+
+@pytest.mark.parametrize("group_size", [1, 3, 1000])
+def test_budget_head_matches_naive_cumsum(spark, group_size):
+    rows = [(i, (i * 7) % 5, (i * 3) % 11 + 1) for i in range(40)]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, score=s, n_tokens=n) for i, s, n in rows]
+    )
+    got = {
+        r["doc_id"]: (r["cum_tokens_before"], r["selected"])
+        for r in budget_head(df, budget_tokens=60, group_size=group_size).collect()
+    }
+    assert got == _naive_budget(rows, 60)
+
+
+def test_budget_head_boundary_doc_kept(spark):
+    # budget 10: doc a (7 tokens) fits, doc b starts at 7 < 10 so it is
+    # kept (overshooting), doc c starts at 14 >= 10 and is cut
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, score=3, n_tokens=7),
+            Row(doc_id=2, score=2, n_tokens=7),
+            Row(doc_id=3, score=1, n_tokens=7),
+        ]
+    )
+    got = {r["doc_id"]: r["selected"] for r in budget_head(df, budget_tokens=10).collect()}
+    assert got == {1: 1, 2: 1, 3: 0}
+
+
+# ----------------------------------------------------------------- WARC
+
+
+def _record(rec_id, payload: bytes) -> bytes:
+    return (
+        f"WARC/1.0\r\nWARC-Record-ID: {rec_id}\r\nContent-Length: {len(payload)}\r\n\r\n".encode()
+        + payload
+        + b"\r\n\r\n"
+    )
+
+
+def test_scan_blob_happy_path_offsets():
+    blob = _record(1, b"hello") + _record(2, b"wide \xe4\xb8\xad text")
+    rows = list(_scan_blob(0, blob))
+    assert [r[5] for r in rows] == ["", ""]
+    assert rows[0][2] == 0 and rows[0][3] == len(_record(1, b"hello"))
+    assert rows[1][2] == len(_record(1, b"hello"))
+    assert rows[0][4] == hashlib.md5(b"hello").hexdigest()
+    assert sum(r[3] for r in rows) == len(blob)
+
+
+def test_scan_blob_payload_may_contain_magic():
+    # Content-Length framing means payload bytes that LOOK like a header
+    # must not confuse the scanner
+    payload = b"WARC/1.0\r\nWARC-Record-ID: 9\r\n\r\n"
+    rows = list(_scan_blob(0, _record(5, payload)))
+    assert len(rows) == 1 and rows[0][1] == 5 and rows[0][5] == ""
+
+
+@pytest.mark.parametrize(
+    "blob,expect",
+    [
+        (b"HTTP/1.1 not a warc", "BadMagic"),
+        (b"WARC/1.0\r\nWARC-Record-ID: 1\r\nContent-Length: 5", "TruncatedHeader"),
+        (b"WARC/1.0\r\nbogus line\r\n\r\nxxxxx\r\n\r\n", "BadHeaderLine"),
+        (b"WARC/1.0\r\nWARC-Record-ID: 1\r\n\r\n", "MissingField"),
+        (b"WARC/1.0\r\nWARC-Record-ID: 1\r\nContent-Length: 99\r\n\r\nshort\r\n\r\n", "TruncatedPayload"),
+    ],
+)
+def test_scan_blob_malformed_taxonomy(blob, expect):
+    rows = list(_scan_blob(3, blob))
+    assert rows[-1][5].startswith(expect)
+    assert rows[-1][0] == 3
+
+
+def test_scan_blob_error_after_good_records():
+    blob = _record(1, b"ok") + b"garbage tail"
+    rows = list(_scan_blob(0, blob))
+    assert rows[0][5] == "" and rows[1][5].startswith("BadMagic")
+    # error row anchors at the failing offset and covers the remainder
+    assert rows[1][2] == len(_record(1, b"ok"))
+    assert rows[1][3] == len(b"garbage tail")
+
+
+def test_warc_roundtrip_spark(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in [(0, "hello world"), (1, "中文 text"), (2, ""), (7, "x y z")]]
+    )
+    parsed = parse_warc_stream(build_warc_shards(docs, n_shards=2)).collect()
+    assert all(r["error"] == "" for r in parsed)
+    by_id = {r["rec_id"]: r for r in parsed}
+    assert set(by_id) == {0, 1, 2, 7}
+    # byte (not char) content length: the CJK doc's record is longer than
+    # its character count implies
+    assert by_id[1]["payload_md5"] == hashlib.md5("中文 text".encode()).hexdigest()
+    # shard 1 holds ids 1 and 7 in order: 7's offset = 1's record length
+    assert by_id[1]["offset"] == 0
+    assert by_id[7]["offset"] == by_id[1]["length"]
+    # record column arithmetic agrees with the python builder
+    rec = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(warc_record_column().alias("r"))
+        .head()["r"]
+    )
+    assert rec.encode() == _record(1, "中文 text".encode())
