@@ -661,6 +661,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(pairs.select("doc_a", "doc_b"))
 
 
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: elect the highest-scoring (longest, ties to
+    lowest id) member of each transitive near-dup cluster — the curation
+    rule that keeps the best page of a boilerplate family. Election is a
+    map-combined max(struct) aggregation, never a corpus window."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import (
+        cluster_representatives,
+        near_dup_pairs,
+    )
+
+    corpus = build_dedup_corpus(spark, sf_dir)
+    pairs = near_dup_pairs(corpus).select("doc_a", "doc_b")
+    scored = corpus.select("doc_id", F.length("text").cast("bigint").alias("score"))
+    return cluster_representatives(scored, pairs, "score")
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-graph centrality (Common-Crawl-style host ranking): exact
+    integer-micro PageRank, 3 statically-unrolled join+aggregate
+    iterations over a derived (source domain → hashed target domain) edge
+    list; all tables domain- or edge-grain, corpus touched once."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.graph import domain_pagerank
+
+    docs = _table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("source").alias("src"),
+        F.concat(
+            F.lit("src"), ((F.col("doc_id") * 7 + 3) % 10).cast("string")
+        ).alias("dst"),
+    )
+    return domain_pagerank(edges, n_iterations=3)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dss_plugin_google_cloud_vision_spark.operators.dedup import simhash_table
 
@@ -1116,6 +1153,27 @@ def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     return parse_warc_stream(build_warc_shards(docs, n_shards=16))
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture token allocation: water-fill a 10k-token training
+    budget across the corpus's source domains — exact integer level +
+    deterministic remainder, so no domain dominates the mixture. One
+    map-combined aggregate collapses the corpus to domain grain; all the
+    rank/threshold work runs on the (bounded) domain table."""
+    from pyspark.sql import functions as F
+
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        domain_token_allocation,
+    )
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import quality_columns
+
+    docs = _table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.col("source").alias("domain"),
+        quality_columns("text")["n_tokens"].alias("n_tokens"),
+    )
+    return domain_token_allocation(sized, budget_tokens=10_000)
 
 
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1642,7 +1700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_two_phase": q_skew_two_phase,
         # --- dedup / similarity families ---
         "exact_dedup": q_exact_dedup,
-        "minhash_candidates": q_minhash_candidates,
+        # minhash_candidates is a strict prefix of near_dup_pairs' LSH
+        # chain (same shingle/sig/band CTEs) — moved below the window to
+        # make room for the graph-centrality family (domain_pagerank)
         "near_dup_pairs": q_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1679,6 +1739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved below the window — the event-time family stays
         # represented in-window by session_stats
         "warc_records": q_warc_records,
+        # domain_pagerank is the graph-centrality family rep (host-level
+        # link-graph ranking, exact integer-micro fixed-point chain)
+        "domain_pagerank": q_domain_pagerank,
         "web_curation_pipeline": q_web_curation,
         "media_features": q_media_features,
         # ---- driver window ends here (50) — variants below ----
@@ -1690,6 +1753,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "event_windows": q_event_windows,
         "budget_head": q_budget_head,
+        # domain_mixture: selection-family variant (budget allocation at
+        # domain grain) — family repped in-window by dsir_importance
+        "domain_mixture": q_domain_mixture,
+        "minhash_candidates": q_minhash_candidates,
+        # cluster_representatives: dedup-family variant (quality-aware
+        # winner election on top of the in-window dedup_clusters closure)
+        "cluster_representatives": q_cluster_representatives,
         "web_blocklist_formatter": q_web_blocklist_formatter,
         "min_score_filter": q_min_score_filter,
         "extract_lang_chars": q_extract_lang_chars,
@@ -1939,6 +2009,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_importance": _oracles.dsir_importance_sql(),
         "budget_head": _oracles.budget_head_sql(budget_tokens=10_000),
         "warc_records": _oracles.warc_records_sql(n_shards=16),
+        "domain_mixture": _oracles.domain_mixture_sql(budget_tokens=10_000),
+        "cluster_representatives": _oracles.cluster_representatives_sql(),
+        "domain_pagerank": _oracles.domain_pagerank_sql(n_iterations=3),
         "web_curation_pipeline": _oracles.web_curation_sql(),
         "gopher_multilingual": _oracles.gopher_multilingual_sql(),
         "bigram_predictability": _oracles.bigram_predictability_sql(),

@@ -571,6 +571,55 @@ def dedup_by_clusters(
     return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
 
 
+def cluster_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware representative election per near-dup cluster: instead
+    of ``dedup_by_clusters``' keep-lowest-id rule, keep the HIGHEST-scoring
+    member of each connected component (ties broken by lowest id) — the
+    curation variant that keeps the best page of a boilerplate family, not
+    an arbitrary one. Docs outside every pair are their own singleton
+    cluster (and their own representative).
+
+    Scale shape: the transitive closure runs only over the pair graph
+    (``near_dup_clusters``); the election is a map-combined
+    ``max(struct(score, -id))`` aggregation — one candidate per map
+    partition even for a 10^9-member boilerplate cluster — and the
+    member→winner join keys on cluster_id, one winner row per cluster.
+    No windows over corpus rows anywhere.
+
+    Output per input doc: doc_id, cluster_id, cluster_size, rep_id,
+    is_rep (1 for the elected representative). Mirrored by
+    ``oracles.cluster_representatives_sql``.
+    """
+    clusters = near_dup_clusters(pairs)
+    members = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("_score"))
+        .join(clusters.withColumnRenamed("doc_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "_score",
+        )
+    )
+    winners = members.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("_score"), (-F.col("doc_id")).alias("neg_id"))).alias("w"),
+        F.count("*").cast("bigint").alias("cluster_size"),
+    ).select(
+        "cluster_id", "cluster_size", (-F.col("w.neg_id")).cast("bigint").alias("rep_id")
+    )
+    return members.join(winners, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "rep_id",
+        F.when(F.col("doc_id") == F.col("rep_id"), 1).otherwise(0).cast("int").alias("is_rep"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -187,3 +187,108 @@ def budget_head(
         .cast("int")
         .alias("selected"),
     )
+
+
+def domain_token_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-fill a token budget across domains — the "no domain may
+    dominate the mixture" curation rule (RefinedWeb-style per-domain
+    caps, computed exactly instead of hand-tuned): find the unique level
+    L such that sum over domains of min(n_domain_tokens, L') equals the
+    budget, where L' is L or L+1 (the integer remainder is assigned
+    deterministically to the smallest capped domains in (tokens, domain)
+    order). Domains whose whole corpus fits under the level keep all
+    their tokens; larger domains are capped at the level.
+
+    Scale shape: one map-combined aggregate collapses the corpus to
+    DOMAIN grain; every window/cross-join after that runs on the domain
+    table (bounded by the domain count, ≪ corpus — the same
+    distinct-grain argument as ``textstats.grouped_exact_quantiles``;
+    nest the pack_sequences two-phase trick if a corpus ever has 10^8+
+    domains). The three 1-row parameter aggregates broadcast.
+
+    Output per domain: domain, n_docs, n_domain_tokens, alloc_tokens,
+    capped (1 when alloc < corpus), rate_milli (alloc/corpus in milli —
+    the per-domain downsampling rate a sampler would apply). Invariant:
+    sum(alloc_tokens) == min(budget, total corpus tokens). All integer;
+    mirrored by ``oracles.domain_mixture_sql``.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    dom = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col(tokens_col)).cast("bigint").alias("n_dom"),
+    )
+    w_rank = Window.partitionBy(F.col("n_dom") % 1).orderBy("n_dom", "domain")
+    ranked = dom.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "prefix", F.sum("n_dom").over(w_rank.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = ranked.agg(
+        F.count("*").cast("bigint").alias("m"), F.sum("n_dom").alias("total")
+    )
+    # j = rank of the largest domain that fits whole under the water
+    # level: prefix_j + (m - j) * n_dom_j <= budget
+    j_row = (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(F.col("prefix") + (F.col("m") - F.col("rn")) * F.col("n_dom") <= budget_tokens)
+        .agg(F.coalesce(F.max("rn"), F.lit(0)).cast("bigint").alias("j"))
+    )
+    params = (
+        ranked.crossJoin(F.broadcast(j_row))
+        .agg(
+            F.max("j").alias("j"),
+            F.max(F.when(F.col("rn") == F.col("j"), F.col("prefix"))).alias("prefix_j"),
+            F.count("*").cast("bigint").alias("m"),
+        )
+        .select(
+            "j",
+            F.coalesce(F.col("prefix_j"), F.lit(0)).alias("prefix_j"),
+            (F.col("m") - F.col("j")).alias("k"),
+        )
+        .select(
+            "j",
+            "k",
+            F.when(
+                F.col("k") > 0,
+                F.expr(f"div({budget_tokens} - prefix_j, k)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("level"),
+            F.when(
+                F.col("k") > 0,
+                (F.lit(budget_tokens) - F.col("prefix_j")) % F.col("k"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rem"),
+        )
+    )
+    alloc = F.when(F.col("rn") <= F.col("j"), F.col("n_dom")).otherwise(
+        F.col("level") + F.when(F.col("rn") - F.col("j") <= F.col("rem"), 1).otherwise(0)
+    )
+    out = ranked.crossJoin(F.broadcast(params)).select(
+        "domain",
+        "n_docs",
+        F.col("n_dom").alias("n_domain_tokens"),
+        alloc.cast("bigint").alias("alloc_tokens"),
+        F.when(alloc < F.col("n_dom"), 1).otherwise(0).cast("int").alias("capped"),
+    )
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_domain_tokens",
+        "alloc_tokens",
+        "capped",
+        F.when(
+            F.col("n_domain_tokens") > 0,
+            F.expr("div(alloc_tokens * 1000, n_domain_tokens)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rate_milli"),
+    )

@@ -1595,3 +1595,119 @@ def warc_records_sql(n_shards: int = 16) -> str:
         'SELECT shard, cast(doc_id AS bigint) AS rec_id, cast(off AS bigint) AS "offset", '
         'cast(rec_len AS bigint) AS "length", pm AS payload_md5, \'\' AS error FROM o'
     )
+
+
+def domain_mixture_sql(budget_tokens: int = 10_000) -> str:
+    """Mirror of operators.selection.domain_token_allocation over the
+    documents table grouped by ``source``: exact integer water-filling of
+    a token budget across domains. Same rank/prefix/threshold arithmetic
+    as the operator (ascending (n_dom, domain) order; j = largest rank
+    whose whole-corpus prefix plus level-at-n_dom_j fill fits the budget;
+    remainder tokens go to the smallest capped domains). Pure bigint
+    ``//`` and ``%`` on both sides (the CLAUDE.md rule)."""
+    b = int(budget_tokens)
+    return (
+        "WITH dom AS ("
+        " SELECT source AS domain, cast(count(*) AS bigint) AS n_docs,"
+        " cast(coalesce(sum(len(string_split(text, ' '))), 0) AS bigint) AS n_dom"
+        " FROM documents GROUP BY source), "
+        "ranked AS ("
+        " SELECT *, cast(row_number() OVER (ORDER BY n_dom, domain) AS bigint) AS rn,"
+        " sum(n_dom) OVER (ORDER BY n_dom, domain"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix FROM dom), "
+        "tot AS (SELECT cast(count(*) AS bigint) AS m FROM ranked), "
+        "jr AS (SELECT cast(coalesce(max(rn), 0) AS bigint) AS j"
+        f" FROM ranked, tot WHERE prefix + (m - rn) * n_dom <= {b}), "
+        "par AS ("
+        " SELECT j, cast(coalesce(max(CASE WHEN rn = j THEN prefix END), 0) AS bigint)"
+        "  AS prefix_j, m - j AS k FROM ranked, jr, tot GROUP BY j, m), "
+        "lv AS ("
+        f" SELECT j, CASE WHEN k > 0 THEN ({b} - prefix_j) // k ELSE 0 END AS level,"
+        f" CASE WHEN k > 0 THEN ({b} - prefix_j) % k ELSE 0 END AS rem FROM par), "
+        "alloc AS ("
+        " SELECT r.*, CASE WHEN rn <= j THEN n_dom"
+        "  ELSE level + CASE WHEN rn - j <= rem THEN 1 ELSE 0 END END AS a"
+        " FROM ranked r, lv) "
+        "SELECT domain, n_docs, n_dom AS n_domain_tokens, cast(a AS bigint) AS alloc_tokens, "
+        "cast(CASE WHEN a < n_dom THEN 1 ELSE 0 END AS int) AS capped, "
+        "cast(CASE WHEN n_dom > 0 THEN (a * 1000) // n_dom ELSE 0 END AS bigint) AS rate_milli "
+        "FROM alloc"
+    )
+
+
+def cluster_representatives_sql(threshold_milli: int = 800) -> str:
+    """Mirror of operators.dedup.cluster_representatives over the dedup
+    corpus with score = len(text): transitive near-dup closure, then the
+    highest-score / lowest-id member of each component wins. The window
+    form here (row_number over the cluster) and the operator's
+    max(struct(score, -id)) aggregation elect the same winner by
+    construction — max score, ties to the smallest doc_id."""
+    return (
+        f"WITH RECURSIVE {_near_dup_pairs_ctes(threshold_milli)}, "
+        "edges AS ("
+        " SELECT doc_a AS src, doc_b AS dst FROM pairs"
+        " UNION SELECT doc_b AS src, doc_a AS dst FROM pairs), "
+        "reach(node, label) AS ("
+        " SELECT src AS node, src AS label FROM edges"
+        " UNION"
+        " SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node), "
+        "cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM reach GROUP BY node), "
+        "mem AS ("
+        " SELECT c.doc_id, coalesce(cc.cluster_id, c.doc_id) AS cluster_id,"
+        "  cast(len(c.text) AS bigint) AS score"
+        " FROM corpus c LEFT JOIN cc ON cc.doc_id = c.doc_id), "
+        "rk AS ("
+        " SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn,"
+        "  count(*) OVER (PARTITION BY cluster_id) AS csize FROM mem) "
+        "SELECT m.doc_id, m.cluster_id, cast(w.csize AS bigint) AS cluster_size, "
+        "cast(w.doc_id AS bigint) AS rep_id, "
+        "cast(CASE WHEN m.doc_id = w.doc_id THEN 1 ELSE 0 END AS int) AS is_rep "
+        "FROM mem m JOIN (SELECT * FROM rk WHERE rn = 1) w ON w.cluster_id = m.cluster_id"
+    )
+
+
+def domain_pagerank_sql(
+    n_iterations: int = 3,
+    damping_milli: int = 850,
+    scale: int = 1_000_000,
+    fanout: int = 10,
+) -> str:
+    """Mirror of operators.graph.domain_pagerank over the derived document
+    domain graph (src = source, dst = 'src' || (doc_id*7+3) % fanout):
+    identical integer micro arithmetic per iteration — DuckDB ``//`` and
+    Spark ``div`` both truncate on the all-positive operands here, and
+    integer contribution sums are order-independent, so the chain is exact
+    at any iteration count."""
+    d = int(damping_milli)
+    ctes = [
+        "e AS (SELECT DISTINCT source AS src,"
+        f" 'src' || cast((doc_id * 7 + 3) % {int(fanout)} AS varchar) AS dst FROM documents)",
+        "nodes AS (SELECT src AS domain FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src AS domain, cast(count(*) AS bigint) AS out_degree FROM e GROUP BY src)",
+        "idg AS (SELECT dst AS domain, cast(count(*) AS bigint) AS in_degree FROM e GROUP BY dst)",
+        "par AS (SELECT cast(count(*) AS bigint) AS n,"
+        f" ({1000 - d} * cast({int(scale)} AS bigint)) // (1000 * count(*)) AS base_micro,"
+        f" cast({int(scale)} AS bigint) // count(*) AS pr0 FROM nodes)",
+        "p0 AS (SELECT domain, pr0 AS pr FROM nodes CROSS JOIN par)",
+    ]
+    for t in range(1, int(n_iterations) + 1):
+        ctes.append(
+            f"c{t} AS (SELECT e.dst AS domain,"
+            f" sum((p.pr * {d}) // (1000 * od.out_degree)) AS m"
+            f" FROM p{t - 1} p JOIN od ON od.domain = p.domain"
+            " JOIN e ON e.src = p.domain GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"p{t} AS (SELECT nodes.domain,"
+            f" cast(par.base_micro + coalesce(c{t}.m, 0) AS bigint) AS pr"
+            f" FROM nodes CROSS JOIN par LEFT JOIN c{t} ON c{t}.domain = nodes.domain)"
+        )
+    last = f"p{int(n_iterations)}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT p.domain, coalesce(od.out_degree, cast(0 AS bigint)) AS out_degree, "
+        "coalesce(idg.in_degree, cast(0 AS bigint)) AS in_degree, p.pr AS pr_micro, "
+        'cast(row_number() OVER (ORDER BY p.pr DESC, p.domain) AS bigint) AS "rank" '
+        f"FROM {last} p LEFT JOIN od ON od.domain = p.domain "
+        "LEFT JOIN idg ON idg.domain = p.domain"
+    )

@@ -217,3 +217,89 @@ def test_warc_roundtrip_spark(spark):
         .head()["r"]
     )
     assert rec.encode() == _record(1, "中文 text".encode())
+
+
+# ------------------------------------------------------- domain mixture
+
+
+def _alloc(spark, doms, budget):
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        domain_token_allocation,
+    )
+
+    rows = []
+    for d, toks in doms:
+        for t in toks:
+            rows.append(Row(domain=d, n_tokens=t))
+    return {
+        r["domain"]: r
+        for r in domain_token_allocation(
+            spark.createDataFrame(rows), budget_tokens=budget
+        ).collect()
+    }
+
+
+def test_domain_mixture_hand_computed(spark):
+    # domains a=10, b=10, c=10 tokens; budget 10 -> level 3, remainder 1
+    # to the lexicographically-first tied smallest domain
+    got = _alloc(spark, [("a", [4, 6]), ("b", [10]), ("c", [5, 5])], 10)
+    assert {d: r["alloc_tokens"] for d, r in got.items()} == {"a": 4, "b": 3, "c": 3}
+    assert {d: r["capped"] for d, r in got.items()} == {"a": 1, "b": 1, "c": 1}
+    assert got["a"]["n_docs"] == 2 and got["b"]["n_docs"] == 1
+    assert got["a"]["rate_milli"] == 400  # div(4*1000, 10)
+
+
+def test_domain_mixture_budget_covers_corpus(spark):
+    got = _alloc(spark, [("a", [3]), ("b", [7, 2])], 100)
+    assert all(r["capped"] == 0 for r in got.values())
+    assert {d: r["alloc_tokens"] for d, r in got.items()} == {"a": 3, "b": 9}
+    assert all(r["rate_milli"] == 1000 for r in got.values())
+
+
+def test_domain_mixture_zero_budget_and_empty_domain(spark):
+    got = _alloc(spark, [("a", [5]), ("empty", [0])], 0)
+    assert {d: r["alloc_tokens"] for d, r in got.items()} == {"a": 0, "empty": 0}
+    assert got["empty"]["capped"] == 0 and got["empty"]["rate_milli"] == 0
+    assert got["a"]["capped"] == 1
+
+
+def test_domain_mixture_negative_budget_raises(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        domain_token_allocation,
+    )
+
+    with pytest.raises(ValueError):
+        domain_token_allocation(
+            spark.createDataFrame([Row(domain="a", n_tokens=1)]), budget_tokens=-1
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_domain_mixture_waterfill_properties(spark, seed):
+    """Independent check: not a re-run of the algorithm but the defining
+    properties of an exact integer water-fill."""
+    import random
+
+    rng = random.Random(seed)
+    doms = [
+        (f"d{i:02d}", [rng.randrange(0, 40) for _ in range(rng.randrange(1, 4))])
+        for i in range(12)
+    ]
+    total = sum(sum(t) for _, t in doms)
+    budget = rng.randrange(0, total + 20)
+    got = _alloc(spark, doms, budget)
+    n_dom = {d: sum(t) for d, t in doms}
+    alloc = {d: r["alloc_tokens"] for d, r in got.items()}
+    # exact budget exhaustion (or whole corpus when budget exceeds it)
+    assert sum(alloc.values()) == min(budget, total)
+    # bounds and capped flag consistency
+    for d, a in alloc.items():
+        assert 0 <= a <= n_dom[d]
+        assert got[d]["capped"] == (1 if a < n_dom[d] else 0)
+    # water-level fairness: no domain may exceed a capped domain's
+    # allocation by more than the 1-token integer remainder (an uncapped
+    # domain can legitimately sit at level+1 == its whole corpus)
+    capped = sorted(a for d, a in alloc.items() if got[d]["capped"] == 1)
+    if capped:
+        assert capped[-1] - capped[0] <= 1
+        assert all(a <= capped[0] + 1 for a in alloc.values())
