@@ -679,6 +679,23 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(scored, pairs, "score")
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation hygiene: deterministic train/valid/test assignment
+    (md5-bucket per-mille ranges, pure function of doc_id) + per-doc audit
+    of near-dup pairs that straddle the split boundary — train docs
+    near-dupping a held-out doc are flagged ``contaminated``. Splits are
+    computed row-locally on the pair list; the only corpus-sized op is the
+    final id-grain left join."""
+    from dss_plugin_google_cloud_vision_spark.operators.dedup import near_dup_pairs
+    from dss_plugin_google_cloud_vision_spark.operators.splits import (
+        split_leakage_report,
+    )
+
+    corpus = build_dedup_corpus(spark, sf_dir)
+    pairs = near_dup_pairs(corpus).select("doc_a", "doc_b")
+    return split_leakage_report(corpus, pairs)
+
+
 def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-graph centrality (Common-Crawl-style host ranking): exact
     integer-micro PageRank, 3 statically-unrolled join+aggregate
@@ -1709,7 +1726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
         "paragraph_dedup": q_paragraph_dedup,
-        "line_dedup": q_line_dedup,
+        # split_leakage is the evaluation-hygiene family rep (deterministic
+        # split carve-out + near-dup cross-split audit); line_dedup moved
+        # below the window — within-doc granular dedup stays represented
+        # in-window by duplicate_spans and boilerplate_lines
+        "split_leakage": q_split_leakage,
         "duplicate_spans": q_duplicate_spans,
         "ngram_contamination": q_ngram_contamination,
         "incremental_near_dup": q_incremental_near_dup,
@@ -1757,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # domain grain) — family repped in-window by dsir_importance
         "domain_mixture": q_domain_mixture,
         "minhash_candidates": q_minhash_candidates,
+        "line_dedup": q_line_dedup,
         # cluster_representatives: dedup-family variant (quality-aware
         # winner election on top of the in-window dedup_clusters closure)
         "cluster_representatives": q_cluster_representatives,
@@ -2012,6 +2034,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": _oracles.domain_mixture_sql(budget_tokens=10_000),
         "cluster_representatives": _oracles.cluster_representatives_sql(),
         "domain_pagerank": _oracles.domain_pagerank_sql(n_iterations=3),
+        "split_leakage": _oracles.split_leakage_sql(),
         "web_curation_pipeline": _oracles.web_curation_sql(),
         "gopher_multilingual": _oracles.gopher_multilingual_sql(),
         "bigram_predictability": _oracles.bigram_predictability_sql(),

@@ -1711,3 +1711,50 @@ def domain_pagerank_sql(
         f"FROM {last} p LEFT JOIN od ON od.domain = p.domain "
         "LEFT JOIN idg ON idg.domain = p.domain"
     )
+
+
+def _split_case(id_expr: str, splits_milli=None, seed: int = 7) -> str:
+    """The split-assignment CASE for ``id_expr``, generated from the SAME
+    (seed, order, weights) constants operators.splits.split_column uses:
+    md5-prefix bucket in [0,1000) through cumulative per-mille ranges."""
+    from .operators.splits import DEFAULT_SPLITS_MILLI, _validate_splits
+
+    pairs = _validate_splits(splits_milli or DEFAULT_SPLITS_MILLI)
+    bucket = (
+        f"(('0x' || substring(md5('{seed}:' || cast({id_expr} AS varchar)), 1, 8))::BIGINT"
+        " % 1000)"
+    )
+    whens, hi = [], 0
+    for name, milli in pairs[:-1]:
+        hi += milli
+        whens.append(f"WHEN {bucket} < {hi} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{pairs[-1][0]}' END"
+
+
+def split_leakage_sql(threshold_milli: int = 800, seed: int = 7) -> str:
+    """Mirror of operators.splits.split_leakage_report over the dedup
+    corpus: near-dup pairs (same LSH/verify CTE chain as near_dup_pairs),
+    both endpoints' splits computed inline (pure-function assignment —
+    exactly like the Spark side, no split table), symmetrize, aggregate at
+    id grain, left-join the corpus so zero-link docs report zeros."""
+    sp_doc = _split_case("s.doc_id", seed=seed)
+    sp_partner = _split_case("s.partner", seed=seed)
+    sp_corpus = _split_case("c.doc_id", seed=seed)
+    return (
+        f"WITH {_near_dup_pairs_ctes(threshold_milli)}, "
+        "sym AS ("
+        " SELECT doc_a AS doc_id, doc_b AS partner FROM pairs"
+        " UNION ALL SELECT doc_b AS doc_id, doc_a AS partner FROM pairs), "
+        "links AS ("
+        f" SELECT doc_id,"
+        f" sum(CASE WHEN {sp_partner} <> {sp_doc} THEN 1 ELSE 0 END) AS n_cross,"
+        f" sum(CASE WHEN {sp_partner} IN ('valid', 'test')"
+        f"  AND {sp_partner} <> {sp_doc} THEN 1 ELSE 0 END) AS n_eval"
+        " FROM sym s GROUP BY doc_id) "
+        f"SELECT c.doc_id, {sp_corpus} AS split, "
+        "cast(coalesce(l.n_cross, 0) AS bigint) AS n_cross_links, "
+        "cast(coalesce(l.n_eval, 0) AS bigint) AS n_eval_links, "
+        f"cast(CASE WHEN {sp_corpus} = 'train' AND coalesce(l.n_eval, 0) > 0"
+        " THEN 1 ELSE 0 END AS int) AS contaminated "
+        "FROM corpus c LEFT JOIN links l ON l.doc_id = c.doc_id"
+    )
