@@ -679,6 +679,19 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(scored, pairs, "score")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training prep: learn the corpus's first 6 BPE merges.
+    One corpus pass collapses text to distinct-word grain; each merge
+    round is an integer pair count + map-combined top-pair election +
+    one replace() over the bounded vocabulary table (replace is
+    left-to-right non-overlapping in both engines == greedy BPE)."""
+    from dss_plugin_google_cloud_vision_spark.operators.tokenizer import (
+        learn_bpe_merges,
+    )
+
+    return learn_bpe_merges(_table(spark, sf_dir, "documents"), n_merges=6)
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evaluation hygiene: deterministic train/valid/test assignment
     (md5-bucket per-mille ranges, pure function of doc_id) + per-doc audit
@@ -1732,7 +1745,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window by duplicate_spans and boilerplate_lines
         "split_leakage": q_split_leakage,
         "duplicate_spans": q_duplicate_spans,
-        "ngram_contamination": q_ngram_contamination,
+        # bpe_merges is the tokenizer-prep family rep (corpus BPE merge
+        # learning at vocabulary grain); ngram_contamination moved below
+        # the window — benchmark decontamination stays repped in-window
+        # by split_leakage (the eval-hygiene family)
+        "bpe_merges": q_bpe_merges,
         "incremental_near_dup": q_incremental_near_dup,
         "ann_topk": q_ann_topk,
         # ivf_pq_search covers the ivf_index_search family AND the PQ ADC
@@ -1779,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": q_domain_mixture,
         "minhash_candidates": q_minhash_candidates,
         "line_dedup": q_line_dedup,
+        "ngram_contamination": q_ngram_contamination,
         # cluster_representatives: dedup-family variant (quality-aware
         # winner election on top of the in-window dedup_clusters closure)
         "cluster_representatives": q_cluster_representatives,
@@ -2035,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_representatives": _oracles.cluster_representatives_sql(),
         "domain_pagerank": _oracles.domain_pagerank_sql(n_iterations=3),
         "split_leakage": _oracles.split_leakage_sql(),
+        "bpe_merges": _oracles.bpe_merges_sql(n_merges=6),
         "web_curation_pipeline": _oracles.web_curation_sql(),
         "gopher_multilingual": _oracles.gopher_multilingual_sql(),
         "bigram_predictability": _oracles.bigram_predictability_sql(),

@@ -1758,3 +1758,44 @@ def split_leakage_sql(threshold_milli: int = 800, seed: int = 7) -> str:
         " THEN 1 ELSE 0 END AS int) AS contaminated "
         "FROM corpus c LEFT JOIN links l ON l.doc_id = c.doc_id"
     )
+
+
+def bpe_merges_sql(n_merges: int = 6, source: str = "documents") -> str:
+    """Mirror of operators.tokenizer.learn_bpe_merges: unrolled merge
+    rounds over the distinct-word vocabulary, bar-delimited symbol
+    sequences, and replace()-based greedy merge application — DuckDB's
+    replace is left-to-right non-overlapping exactly like Spark's, and
+    pair counts are integer sums, so every round is engine-exact. Top-pair
+    election here is ORDER BY cnt DESC, a, b LIMIT 1 (== the operator's
+    min(struct(-cnt, a, b)) by construction)."""
+    ctes = [
+        "w0 AS MATERIALIZED ("
+        " SELECT word, cast(count(*) AS bigint) AS wf,"
+        " regexp_replace(word, '(.)', '|\\1|', 'g') AS seq"
+        " FROM (SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9'']+'))) AS word"
+        f" FROM {source}) GROUP BY word)"
+    ]
+    for t in range(1, int(n_merges) + 1):
+        ctes.append(
+            f"p{t} AS ("
+            " SELECT p.a AS a, p.b AS b, cast(sum(wf) AS bigint) AS cnt FROM ("
+            "  SELECT wf, unnest(list_transform(generate_series(1, len(s) - 1),"
+            "   i -> struct_pack(a := s[i], b := s[i+1]))) AS p"
+            "  FROM (SELECT wf, regexp_extract_all(seq, '\\|([^|]+)\\|', 1) AS s"
+            f"   FROM w{t - 1}) WHERE len(s) >= 2"
+            " ) GROUP BY p.a, p.b)"
+        )
+        ctes.append(f"t{t} AS (SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1)")
+        ctes.append(
+            f"w{t} AS ("
+            " SELECT w.word, w.wf, CASE WHEN t.a IS NULL THEN w.seq"
+            "  ELSE replace(w.seq, '|' || t.a || '||' || t.b || '|',"
+            "   '|' || t.a || t.b || '|') END AS seq"
+            f" FROM w{t - 1} w LEFT JOIN t{t} t ON TRUE)"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cast({t} AS bigint) AS iteration, a AS merge_left,"
+            f" b AS merge_right, a || b AS merged, cnt AS pair_count FROM t{t})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, int(n_merges) + 1))
+    return "WITH " + ", ".join(ctes) + " " + union
