@@ -335,3 +335,30 @@ def test_budget_head_windows_are_partitioned(spark, sf_dir):
         assert ", [], [" not in head, (
             "window with empty partition spec in budget_head plan: " + head
         )
+
+
+def test_domain_pagerank_has_no_cartesian_product(spark):
+    """Every per-iteration join must be an equi-join on the domain key
+    (the only nested-loop joins allowed are the 1-row broadcast parameter
+    attachments); an all-pairs product over the edge list would be the
+    scale-killer."""
+    from pyspark.sql import Row
+
+    from dss_plugin_google_cloud_vision_spark.operators.graph import domain_pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=f"h{i % 7}", dst=f"h{(i * 3 + 1) % 7}") for i in range(30)]
+    )
+    plan = _plan(domain_pagerank(edges, n_iterations=3))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bpe_word_table_single_exchange(spark, sf_dir):
+    """The BPE trainer's only corpus-sized operation is the word-grain
+    collapse: exactly one Exchange (the word groupBy); everything after
+    runs on the bounded vocabulary table."""
+    from dss_plugin_google_cloud_vision_spark.operators.tokenizer import bpe_word_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(bpe_word_table(docs))
+    assert plan.count("Exchange") == 1, plan
