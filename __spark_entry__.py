@@ -1697,6 +1697,49 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch: the 4x256 counter grid is bounded state
+    at ANY corpus size (one map-combined groupBy on hash-uniform keys — no
+    Zipf skew survives the bucketing), and point estimates are a broadcast
+    join against that tiny grid. Output: the top-25 tokens by exact count
+    (cnt DESC, token — TakeOrdered both sides) with their sketch estimate
+    and the never-negative overcount."""
+    from dss_plugin_google_cloud_vision_spark.operators.sketches import (
+        countmin_estimates,
+        countmin_table,
+        whitespace_tokens,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    sketch = countmin_table(docs)
+    exact = (
+        whitespace_tokens(docs)
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(25)
+    return countmin_estimates(top, sketch).select(
+        "token",
+        "exact_cnt",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch over document TEXTS (the
+    exact-dup-rate cardinality question): 64 registers of max(rho), merged
+    by one map-combined groupBy — the state is 64 rows whether the corpus
+    is 500 docs or 100 TB. The exact distinct count rides along as the
+    honesty column; err_milli is the integer relative error."""
+    from dss_plugin_google_cloud_vision_spark.operators.sketches import (
+        hll_distinct_estimate,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select(F.col("text").alias("v"))
+    return hll_distinct_estimate(docs, "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is part of the driver contract: the round driver's
     correctness gate covers the FIRST 50 entries, so exactly one
@@ -1738,7 +1781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "semantic_dedup": q_semantic_dedup,
-        "paragraph_dedup": q_paragraph_dedup,
+        # countmin_heavy_hitters is the bounded-state sketch family rep
+        # (count-min grid + broadcast point estimates); paragraph_dedup
+        # moved below the window — cross-doc granular dedup stays repped
+        # in-window by duplicate_spans and boilerplate_lines
+        "countmin_heavy_hitters": q_countmin_heavy_hitters,
         # split_leakage is the evaluation-hygiene family rep (deterministic
         # split carve-out + near-dup cross-split audit); line_dedup moved
         # below the window — within-doc granular dedup stays represented
@@ -1820,6 +1867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_ngrams": q_duplicate_ngrams,
         "quality_buckets": q_quality_buckets,
         "pq_topk": q_pq_topk,
+        "paragraph_dedup": q_paragraph_dedup,
+        # hll_distinct: sketch-family variant (distinct-count registers) —
+        # family repped in-window by countmin_heavy_hitters
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -2065,6 +2116,8 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_ngrams": _oracles.duplicate_ngram_sql(),
         "quality_buckets": _oracles.lm_quality_buckets_sql(),
         "pq_topk": _oracles.pq_topk_sql(),
+        "countmin_heavy_hitters": _oracles.countmin_heavy_hitters_sql(),
+        "hll_distinct": _oracles.hll_distinct_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

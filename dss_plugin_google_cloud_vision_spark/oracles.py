@@ -1799,3 +1799,98 @@ def bpe_merges_sql(n_merges: int = 6, source: str = "documents") -> str:
         )
     union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, int(n_merges) + 1))
     return "WITH " + ", ".join(ctes) + " " + union
+
+
+def countmin_heavy_hitters_sql(
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 11,
+    top_n: int = 25,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.sketches.countmin_table + countmin_estimates:
+    the depth*width counter grid replayed with the same md5-prefix bucket
+    coordinate ('0x'||hex == Spark conv(hex,16,10)), then the top-``top_n``
+    tokens by exact count (cnt DESC, token tiebreak — Spark TakeOrdered)
+    point-estimated as min over grid rows with absent cells = 0. All
+    counters are bigint; no float anywhere."""
+    return (
+        "WITH toks AS ("
+        " SELECT t AS token FROM ("
+        f"  SELECT unnest(string_split(text, ' ')) AS t FROM {source}) WHERE t <> ''), "
+        f"rws AS (SELECT unnest(range({depth})) AS row), "
+        "occ AS ("
+        " SELECT row, cast(('0x' || substr("
+        f"  md5('{seed}:' || cast(row AS varchar) || ':' || token), 1, 8))::bigint"
+        f"  % {width} AS int) AS bucket"
+        " FROM toks CROSS JOIN rws), "
+        "grid AS (SELECT row, bucket, cast(count(*) AS bigint) AS cnt"
+        " FROM occ GROUP BY row, bucket), "
+        "exact AS (SELECT token, cast(count(*) AS bigint) AS exact_cnt"
+        " FROM toks GROUP BY token), "
+        f"top AS (SELECT * FROM exact ORDER BY exact_cnt DESC, token LIMIT {top_n}), "
+        "probe AS ("
+        " SELECT token, exact_cnt, row, cast(('0x' || substr("
+        f"  md5('{seed}:' || cast(row AS varchar) || ':' || token), 1, 8))::bigint"
+        f"  % {width} AS int) AS bucket"
+        " FROM top CROSS JOIN rws), "
+        "est AS ("
+        " SELECT token, exact_cnt,"
+        " cast(min(coalesce(grid.cnt, 0)) AS bigint) AS cm_estimate"
+        " FROM probe LEFT JOIN grid USING (row, bucket) GROUP BY token, exact_cnt) "
+        "SELECT token, exact_cnt, cm_estimate, "
+        "cast(cm_estimate - exact_cnt AS bigint) AS overcount FROM est"
+    )
+
+
+def hll_distinct_sql(
+    log2m: int = 6,
+    seed: int = 13,
+    alpha_milli: int = 709,
+    rmax: int = 33,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.sketches.hll_distinct_estimate over document
+    TEXTS (the exact-dup-rate cardinality question — distinct-doc counts
+    sit in raw HLL's good range, unlike the tiny synthetic token vocab):
+    bucket = first-4-hex window mod m, rho = leading-zero rank of the
+    hex-5..12 window computed by the SAME string arithmetic (regexp strip
+    + 16-way CASE — no engine bit intrinsics), registers = max(rho), and
+    the raw estimate as one bigint ``//`` division (positive operands:
+    floor == Spark div's truncation)."""
+    m = 1 << log2m
+    numerator = alpha_milli * m * m * (1 << rmax)
+    rho = (
+        "CASE WHEN length(stripped) = 0 THEN " + str(rmax) + " ELSE"
+        " (8 - length(stripped)) * 4 +"
+        " CASE WHEN substr(stripped, 1, 1) = '1' THEN 3"
+        "  WHEN substr(stripped, 1, 1) IN ('2', '3') THEN 2"
+        "  WHEN substr(stripped, 1, 1) IN ('4', '5', '6', '7') THEN 1"
+        "  ELSE 0 END + 1 END"
+    )
+    return (
+        f"WITH vals AS (SELECT text AS v FROM {source}), "
+        "h AS ("
+        f" SELECT cast(('0x' || substr(md5('{seed}:' || v), 1, 4))::bigint % {m} AS int)"
+        "  AS bucket,"
+        f" regexp_replace(substr(md5('{seed}:' || v), 5, 8), '^0+', '') AS stripped"
+        " FROM vals), "
+        f"r AS (SELECT bucket, cast({rho} AS int) AS rho FROM h), "
+        "regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY bucket), "
+        "a AS ("
+        " SELECT cast(count(*) AS bigint) AS registers_set,"
+        f" cast(sum(1::BIGINT << ({rmax} - register)) AS bigint) AS sum_present FROM regs), "
+        "e AS (SELECT cast(count(DISTINCT v) AS bigint) AS exact_distinct FROM vals), "
+        "s AS ("
+        f" SELECT cast({m} AS bigint) AS m, registers_set,"
+        f" cast(sum_present + ({m} - registers_set) * (1::BIGINT << {rmax}) AS bigint)"
+        "  AS sum_pow, exact_distinct"
+        " FROM a CROSS JOIN e), "
+        "f AS ("
+        " SELECT m, registers_set, sum_pow,"
+        f" cast({numerator} // (1000 * sum_pow) AS bigint) AS hll_estimate, exact_distinct"
+        " FROM s) "
+        "SELECT m, registers_set, sum_pow, hll_estimate, exact_distinct, "
+        "cast(abs(hll_estimate - exact_distinct) * 1000 // exact_distinct AS bigint)"
+        " AS err_milli FROM f"
+    )
