@@ -1726,6 +1726,33 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped classifier at corpus scale: one-pass hashed-ngram
+    class-affinity weight table (bounded: n_buckets x n_labels rows,
+    integer-exact add-one ratios), then inference = broadcast weight join
+    + map-combined per-(doc,label) dot product + deterministic argmax.
+    Output: per-doc predicted language vs actual, with the correct flag
+    (synthetic vocab is mostly shared across langs, so accuracy is an
+    honesty column, not a quality claim — the operator under test is the
+    distributed inference shape)."""
+    from dss_plugin_google_cloud_vision_spark.operators.classifier import (
+        classify_documents,
+        train_class_affinity_weights,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    weights = train_class_affinity_weights(docs, label_col="lang")
+    pred = classify_documents(docs, weights)
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("predicted_label").alias("predicted_lang"),
+        "best_score_micro",
+        "n_ngrams",
+        (F.col("lang") == F.col("predicted_label")).cast("int").alias("correct"),
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch over document TEXTS (the
     exact-dup-rate cardinality question): 64 registers of max(rho), merged
@@ -1779,7 +1806,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": q_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
-        "embedding_near_dups": q_embedding_near_dups,
+        # classifier_inference is the model-based-scoring family rep
+        # (hashed-feature linear classifier: broadcast weights +
+        # map-combined dot + argmax); embedding_near_dups moved below the
+        # window — embedding-space near-dup stays repped in-window by
+        # semantic_dedup (and the banded-LSH shape by near_dup_pairs)
+        "classifier_inference": q_classifier_inference,
         "semantic_dedup": q_semantic_dedup,
         # countmin_heavy_hitters is the bounded-state sketch family rep
         # (count-min grid + broadcast point estimates); paragraph_dedup
@@ -1868,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": q_quality_buckets,
         "pq_topk": q_pq_topk,
         "paragraph_dedup": q_paragraph_dedup,
+        "embedding_near_dups": q_embedding_near_dups,
         # hll_distinct: sketch-family variant (distinct-count registers) —
         # family repped in-window by countmin_heavy_hitters
         "hll_distinct": q_hll_distinct,
@@ -2118,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_topk": _oracles.pq_topk_sql(),
         "countmin_heavy_hitters": _oracles.countmin_heavy_hitters_sql(),
         "hll_distinct": _oracles.hll_distinct_sql(),
+        "classifier_inference": _oracles.classifier_inference_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -1894,3 +1894,54 @@ def hll_distinct_sql(
         "cast(abs(hll_estimate - exact_distinct) * 1000 // exact_distinct AS bigint)"
         " AS err_milli FROM f"
     )
+
+
+def classifier_inference_sql(
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    seed: int = 17,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.classifier train + classify over the documents
+    table with ``lang`` as the label: hashed unigram+bigram occurrences
+    (the dsir_importance_sql feature CTE with the classifier seed), dense
+    (bucket x label) add-one affinity weights as pure bigint ``//``, per-
+    (doc, label) score sums, and the argmax as a (score DESC, label)
+    row_number — identical to the operator's min(struct(-score, label))
+    by construction. Positive operands: ``//`` floor == Spark div."""
+    return (
+        "WITH t AS ("
+        f" SELECT doc_id, lang, string_split(text, ' ') AS toks FROM {source}), "
+        "occ AS ("
+        " SELECT doc_id, lang,"
+        f" cast(('0x' || substr(md5('{seed}:' || ng), 1, 8))::bigint % {n_buckets} AS int)"
+        "  AS bucket"
+        " FROM ("
+        "  SELECT doc_id, lang, unnest(list_concat(toks,"
+        "   CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),"
+        "    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END)) AS ng FROM t)), "
+        "bt AS (SELECT bucket, cast(count(*) AS bigint) AS cnt_all FROM occ GROUP BY bucket), "
+        f"lbl AS (SELECT DISTINCT lang AS label FROM {source}), "
+        "nl AS (SELECT cast(count(*) AS bigint) AS n_labels FROM lbl), "
+        "pc AS (SELECT bucket, lang AS label, cast(count(*) AS bigint) AS cnt"
+        " FROM occ GROUP BY bucket, lang), "
+        "w AS ("
+        " SELECT bt.bucket, lbl.label,"
+        f" cast((coalesce(pc.cnt, 0) + 1) * {scale} // (bt.cnt_all + nl.n_labels) AS bigint)"
+        "  AS weight_micro"
+        " FROM bt CROSS JOIN lbl CROSS JOIN nl"
+        " LEFT JOIN pc ON bt.bucket = pc.bucket AND lbl.label = pc.label), "
+        "ds AS ("
+        " SELECT occ.doc_id, w.label,"
+        " cast(sum(w.weight_micro) AS bigint) AS score_micro,"
+        " cast(count(*) AS bigint) AS n_ngrams"
+        " FROM occ JOIN w ON occ.bucket = w.bucket GROUP BY occ.doc_id, w.label), "
+        "best AS ("
+        " SELECT doc_id, label, score_micro, n_ngrams,"
+        " row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, label) AS rn"
+        " FROM ds) "
+        "SELECT d.doc_id, d.lang, b.label AS predicted_lang, "
+        "b.score_micro AS best_score_micro, b.n_ngrams, "
+        "cast(CASE WHEN d.lang = b.label THEN 1 ELSE 0 END AS int) AS correct "
+        f"FROM best b JOIN {source} d USING (doc_id) WHERE b.rn = 1"
+    )
