@@ -1753,6 +1753,22 @@ def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer lifecycle second half: apply the corpus-learned merge
+    list back onto the corpus (encode). Runs at distinct-word grain (the
+    bounded vocabulary), per-round broadcast of the single merge row, then
+    one Zipf-documented word join + map-combined per-doc rollup. Output:
+    per-doc word/BPE-token/char counts + integer compression ratio."""
+    from dss_plugin_google_cloud_vision_spark.operators.tokenizer import (
+        apply_bpe_merges,
+        learn_bpe_merges,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=6)
+    return apply_bpe_merges(docs, merges, n_merges=6)
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch over document TEXTS (the
     exact-dup-rate cardinality question): 64 registers of max(rho), merged
@@ -1904,6 +1920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hll_distinct: sketch-family variant (distinct-count registers) —
         # family repped in-window by countmin_heavy_hitters
         "hll_distinct": q_hll_distinct,
+        # bpe_encode: tokenizer-family variant (apply/encode half) —
+        # family repped in-window by bpe_merges (the learn half)
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -2152,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_heavy_hitters": _oracles.countmin_heavy_hitters_sql(),
         "hll_distinct": _oracles.hll_distinct_sql(),
         "classifier_inference": _oracles.classifier_inference_sql(),
+        "bpe_encode": _oracles.bpe_encode_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

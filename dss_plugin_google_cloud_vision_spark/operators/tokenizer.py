@@ -129,3 +129,94 @@ def learn_bpe_merges(
     for t in merge_tables[1:]:
         out = out.unionAll(t)
     return out
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode the corpus with a learned merge list — the other half of the
+    tokenizer lifecycle (learn once, encode every shard).
+
+    The merge list is NOT collected: step i's single merge row
+    (``iteration == i``) is broadcast-crossJoined onto the vocabulary and
+    applied with the exact pattern/replacement construction the trainer
+    uses, so apply-after-learn is replay-identical to the trainer's own
+    working table. Encoding runs at distinct-WORD grain (the bounded
+    vocabulary), then per-word BPE token counts join back to the per-doc
+    word occurrences — a plain join on ``word`` (Zipf-skewed key; AQE
+    skew-join handles the head, same documented stance as
+    ``textstats.token_rarity_table``) followed by one map-combined per-doc
+    rollup. Nothing corpus-sized is ever broadcast or collected.
+
+    Output per document (docs with zero ASCII words produce no row —
+    inner-join semantics, mirrored by the oracle): id, n_words,
+    n_bpe_tokens, n_chars (sum of word lengths), compression_milli =
+    ``div(n_bpe_tokens * 1000, n_chars)``. Mirrored by
+    ``oracles.bpe_encode_sql``.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    occ = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(BPE_WORD_RE), F.lit(0))).alias(
+            "raw"
+        ),
+    ).select(id_col, F.lower(F.col("raw")).alias("word"))
+    vocab = occ.groupBy("word").agg(F.count("*").alias("_occ")).select(
+        "word", F.regexp_replace(F.col("word"), "(.)", r"|$1|").alias("seq")
+    )
+    for it in range(1, n_merges + 1):
+        # agg(max) yields exactly one row even when the merge list is
+        # shorter than n_merges (null t → the same no-op degrade as the
+        # trainer); a bare crossJoin on an empty step table would drop
+        # every vocabulary row instead
+        step = (
+            merges.filter(F.col("iteration") == it)
+            .select(
+                F.struct(
+                    F.col("merge_left").alias("a"), F.col("merge_right").alias("b")
+                ).alias("t")
+            )
+            .agg(F.max("t").alias("t"))
+        )
+        pattern = F.when(
+            F.col("t").isNotNull(),
+            F.concat(F.lit("|"), F.col("t.a"), F.lit("||"), F.col("t.b"), F.lit("|")),
+        ).otherwise(F.lit("\x01"))
+        repl = F.when(
+            F.col("t").isNotNull(),
+            F.concat(F.lit("|"), F.col("t.a"), F.col("t.b"), F.lit("|")),
+        ).otherwise(F.lit("\x01"))
+        vocab = (
+            vocab.crossJoin(F.broadcast(step))
+            .select("word", F.replace(F.col("seq"), pattern, repl).alias("seq"))
+            .localCheckpoint(eager=False)
+        )
+    word_tokens = vocab.select(
+        "word",
+        F.size(F.regexp_extract_all(F.col("seq"), F.lit(r"\|([^|]+)\|"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_tokens_word"),
+    )
+    return (
+        occ.join(word_tokens, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tokens_word").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars",
+            F.expr("div(n_bpe_tokens * 1000, n_chars)").cast("bigint").alias(
+                "compression_milli"
+            ),
+        )
+    )

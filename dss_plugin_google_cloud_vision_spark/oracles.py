@@ -1760,14 +1760,11 @@ def split_leakage_sql(threshold_milli: int = 800, seed: int = 7) -> str:
     )
 
 
-def bpe_merges_sql(n_merges: int = 6, source: str = "documents") -> str:
-    """Mirror of operators.tokenizer.learn_bpe_merges: unrolled merge
-    rounds over the distinct-word vocabulary, bar-delimited symbol
-    sequences, and replace()-based greedy merge application — DuckDB's
-    replace is left-to-right non-overlapping exactly like Spark's, and
-    pair counts are integer sums, so every round is engine-exact. Top-pair
-    election here is ORDER BY cnt DESC, a, b LIMIT 1 (== the operator's
-    min(struct(-cnt, a, b)) by construction)."""
+def _bpe_cte_chain(n_merges: int, source: str) -> list:
+    """Shared CTE chain for the BPE trainer mirrors: w0 (distinct-word
+    vocabulary) then per-round pair counts (p), top pair (t), rewritten
+    vocabulary (w) and merge row (m). ``w{n_merges}`` is the vocabulary
+    AFTER all merges — exactly what the encode mirror scores against."""
     ctes = [
         "w0 AS MATERIALIZED ("
         " SELECT word, cast(count(*) AS bigint) AS wf,"
@@ -1797,8 +1794,50 @@ def bpe_merges_sql(n_merges: int = 6, source: str = "documents") -> str:
             f"m{t} AS (SELECT cast({t} AS bigint) AS iteration, a AS merge_left,"
             f" b AS merge_right, a || b AS merged, cnt AS pair_count FROM t{t})"
         )
+    return ctes
+
+
+def bpe_merges_sql(n_merges: int = 6, source: str = "documents") -> str:
+    """Mirror of operators.tokenizer.learn_bpe_merges: unrolled merge
+    rounds over the distinct-word vocabulary, bar-delimited symbol
+    sequences, and replace()-based greedy merge application — DuckDB's
+    replace is left-to-right non-overlapping exactly like Spark's, and
+    pair counts are integer sums, so every round is engine-exact. Top-pair
+    election here is ORDER BY cnt DESC, a, b LIMIT 1 (== the operator's
+    min(struct(-cnt, a, b)) by construction)."""
+    ctes = _bpe_cte_chain(int(n_merges), source)
     union = " UNION ALL ".join(f"SELECT * FROM m{t}" for t in range(1, int(n_merges) + 1))
     return "WITH " + ", ".join(ctes) + " " + union
+
+
+def bpe_encode_sql(n_merges: int = 6, source: str = "documents") -> str:
+    """Mirror of operators.tokenizer.apply_bpe_merges composed after
+    learn_bpe_merges: the trainer chain's final vocabulary ``w{n}`` IS the
+    applied encoding (apply replays the trainer's own replace per round),
+    so the encode mirror just counts post-merge symbols per word and rolls
+    up per document over the word occurrences. compression_milli uses
+    integer ``//`` (positive operands: floor == Spark div)."""
+    n = int(n_merges)
+    ctes = _bpe_cte_chain(n, source)
+    ctes.append(
+        "docw AS (SELECT doc_id,"
+        " lower(unnest(regexp_extract_all(text, '[A-Za-z0-9'']+'))) AS word"
+        f" FROM {source})"
+    )
+    ctes.append(
+        "nt AS (SELECT word,"
+        " cast(len(regexp_extract_all(seq, '\\|([^|]+)\\|', 1)) AS bigint) AS n_tokens_word"
+        f" FROM w{n})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT doc_id, cast(count(*) AS bigint) AS n_words, "
+        "cast(sum(n_tokens_word) AS bigint) AS n_bpe_tokens, "
+        "cast(sum(length(word)) AS bigint) AS n_chars, "
+        "cast(sum(n_tokens_word) * 1000 // sum(length(word)) AS bigint)"
+        " AS compression_milli "
+        "FROM docw JOIN nt USING (word) GROUP BY doc_id"
+    )
 
 
 def countmin_heavy_hitters_sql(
