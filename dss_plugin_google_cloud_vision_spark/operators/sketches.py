@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .selection import hashed_ngram_bucket
+
 CM_DEPTH = 4
 CM_WIDTH = 256
 CM_SEED = 11
@@ -61,9 +63,10 @@ def _hash_hex(value: Column, salt: str, start: int = 1, width: int = 8) -> Colum
 
 
 def _hash_mod(value: Column, salt: str, modulus: int) -> Column:
-    """First 8 hex digits as a 32-bit integer, mod ``modulus`` (==
-    DuckDB ``('0x' || substr(md5(..),1,8))::bigint % modulus``)."""
-    return (F.conv(_hash_hex(value, salt), 16, 10).cast("bigint") % modulus).cast("int")
+    """First 8 hex digits as a 32-bit integer, mod ``modulus`` — the
+    shared cross-engine bucket coordinate (``selection.hashed_ngram_bucket``
+    with a composite salt; one implementation on purpose)."""
+    return hashed_ngram_bucket(value, modulus, salt)
 
 
 def whitespace_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -111,21 +114,30 @@ def countmin_estimates(
     seed: int = CM_SEED,
 ) -> DataFrame:
     """Point-estimate each probe token from the sketch: min over the
-    ``depth`` grid rows of the token's counter (0 for an untouched cell
-    — kept via the left join's coalesce). The sketch is ``depth*width``
-    rows, so it BROADCASTS; the probe side never shuffles on a skewed
-    key (its join key is (row, bucket), hash-uniform). Adds
-    ``cm_estimate`` to the probe table."""
-    exploded = probes.select(
-        "*",
-        F.posexplode(
-            F.array(*[_hash_mod(F.col(token_col), f"{seed}:{r}", width) for r in range(depth)])
-        ).alias("row", "bucket"),
-    )
-    joined = exploded.join(F.broadcast(sketch), ["row", "bucket"], "left")
-    return (
-        joined.groupBy(*[c for c in probes.columns])
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("cm_estimate"))
+    ``depth`` grid rows of the token's counter (0 for an untouched cell).
+    Adds ``cm_estimate`` to the probe table — row-for-row (duplicate
+    probe rows stay duplicated): each grid row becomes one broadcast
+    left join of the ≤``width``-row slice, and the estimate is a
+    row-local ``least`` over the ``depth`` looked-up counters — no
+    grouping, so no probe column participates in any key. The probe
+    side never shuffles (its join keys are hash-uniform buckets)."""
+    reserved = {f"_cm_cnt_{r}" for r in range(depth)} | {"_cm_bucket"}
+    clash = reserved & set(probes.columns)
+    if clash:
+        raise ValueError(f"probe columns collide with internals: {sorted(clash)}")
+    out = probes
+    for r in range(depth):
+        grid_row = sketch.filter(F.col("row") == r).select(
+            F.col("bucket").alias("_cm_bucket"),
+            F.col("cnt").cast("bigint").alias(f"_cm_cnt_{r}"),
+        )
+        out = out.withColumn(
+            "_cm_bucket", _hash_mod(F.col(token_col), f"{seed}:{r}", width)
+        ).join(F.broadcast(grid_row), "_cm_bucket", "left").drop("_cm_bucket")
+    counters = [F.coalesce(F.col(f"_cm_cnt_{r}"), F.lit(0)) for r in range(depth)]
+    estimate = counters[0] if depth == 1 else F.least(*counters)
+    return out.select(
+        *probes.columns, estimate.cast("bigint").alias("cm_estimate")
     )
 
 
@@ -162,7 +174,12 @@ def hll_register_table(
     rho bits (next 8) come from disjoint hash windows. At most ``2^log2m``
     rows; the aggregation is a map-combined max, and a union of register
     tables from different shards merges with one more max — the property
-    that makes the sketch mergeable across 1000 executors or N runs."""
+    that makes the sketch mergeable across 1000 executors or N runs.
+
+    ``log2m`` is capped at 16: the bucket comes from a 4-hex-char (16-bit)
+    hash window, so more registers than 2^16 could never all be reached."""
+    if not 1 <= log2m <= 16:
+        raise ValueError(f"log2m must be in [1, 16], got {log2m}")
     m = 1 << log2m
     salt = str(seed)
     buckets = df.select(
@@ -192,15 +209,23 @@ def hll_distinct_estimate(
     would skip it; here it is the honesty check.
 
     Output: m, registers_set, sum_pow, hll_estimate, exact_distinct,
-    err_milli (|est - exact| * 1000 / exact, integer).
+    err_milli (|est - exact| * 1000 / exact, integer). An EMPTY corpus
+    yields the raw formula over all-missing registers (estimate ~= alpha
+    * m / 1000) with err_milli NULL (division by exact_distinct = 0).
     """
     m = 1 << log2m
     regs = hll_register_table(df, value_col, log2m, seed)
     reg_agg = regs.agg(
         F.count("*").cast("bigint").alias("registers_set"),
         # F.shiftleft only takes a python-int shift; the SQL form accepts a
-        # column expression (bigint base keeps the 2^33 shift in range)
-        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - register)"))
+        # column expression (bigint base keeps the 2^33 shift in range).
+        # coalesce: an EMPTY corpus has zero registers and sum() over zero
+        # rows is NULL — the documented missing-bucket rule then needs 0
+        # here so sum_pow degrades to m * 2^RMAX, not NULL
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - register)")),
+            F.lit(0),
+        )
         .cast("bigint")
         .alias("sum_present"),
     )
@@ -234,7 +259,11 @@ def hll_distinct_estimate(
             "sum_pow",
             "hll_estimate",
             "exact_distinct",
-            F.expr("div(abs(hll_estimate - exact_distinct) * 1000, exact_distinct)")
+            # explicit empty-corpus guard: ANSI div raises on 0 divisor
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.expr("div(abs(hll_estimate - exact_distinct) * 1000, exact_distinct)"),
+            )
             .cast("bigint")
             .alias("err_milli"),
         )

@@ -166,7 +166,7 @@ def apply_bpe_merges(
             "raw"
         ),
     ).select(id_col, F.lower(F.col("raw")).alias("word"))
-    vocab = occ.groupBy("word").agg(F.count("*").alias("_occ")).select(
+    vocab = occ.select("word").distinct().select(
         "word", F.regexp_replace(F.col("word"), "(.)", r"|$1|").alias("seq")
     )
     for it in range(1, n_merges + 1):

@@ -1918,7 +1918,8 @@ def hll_distinct_sql(
         "regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY bucket), "
         "a AS ("
         " SELECT cast(count(*) AS bigint) AS registers_set,"
-        f" cast(sum(1::BIGINT << ({rmax} - register)) AS bigint) AS sum_present FROM regs), "
+        f" cast(coalesce(sum(1::BIGINT << ({rmax} - register)), 0) AS bigint)"
+        "  AS sum_present FROM regs), "
         "e AS (SELECT cast(count(DISTINCT v) AS bigint) AS exact_distinct FROM vals), "
         "s AS ("
         f" SELECT cast({m} AS bigint) AS m, registers_set,"

@@ -130,6 +130,43 @@ def test_countmin_validates_dims(spark):
         countmin_table(df, depth=0)
 
 
+def test_countmin_probe_rows_preserved_and_cnt_column_ok(spark):
+    """Estimation is row-for-row: duplicate probe rows survive, and a
+    probe column named 'cnt' (the natural exact-count alias) is fine —
+    the internals never group on or collide with probe columns."""
+    df = _docs(spark, ["a b a"])
+    sketch = countmin_table(df, depth=2, width=8, seed=3)
+    probes = spark.createDataFrame(
+        [Row(token="a", cnt=2), Row(token="a", cnt=2), Row(token="b", cnt=1)]
+    )
+    rows = countmin_estimates(probes, sketch, depth=2, width=8, seed=3).collect()
+    assert sorted((r["token"], r["cnt"], r["cm_estimate"]) for r in rows) == [
+        ("a", 2, 2),
+        ("a", 2, 2),
+        ("b", 1, 1),
+    ]
+
+
+def test_countmin_rejects_internal_name_collision(spark):
+    df = _docs(spark, ["a"])
+    sketch = countmin_table(df)
+    probes = spark.createDataFrame([Row(token="a", _cm_cnt_0=1)])
+    with pytest.raises(ValueError):
+        countmin_estimates(probes, sketch)
+
+
+def test_countmin_depth_one(spark):
+    df = _docs(spark, ["a b a"])
+    sketch = countmin_table(df, depth=1, width=64, seed=3)
+    probes = spark.createDataFrame([Row(token="a")])
+    assert (
+        countmin_estimates(probes, sketch, depth=1, width=64, seed=3).head()[
+            "cm_estimate"
+        ]
+        == 2
+    )
+
+
 # ------------------------------------------------------------------ HLL
 
 
@@ -201,3 +238,22 @@ def test_hll_estimate_error_bounded(spark):
     # register contributes at least 1 << (RMAX - RMAX) ... missing ones 2^RMAX)
     assert row["registers_set"] <= row["m"]
     assert row["hll_estimate"] > 0
+
+
+def test_hll_empty_corpus_degrades_not_nulls(spark):
+    """Zero rows: all registers missing → sum_pow = m * 2^RMAX and the raw
+    estimate ~= alpha * m / 1000; err_milli is NULL (exact = 0)."""
+    empty = spark.createDataFrame([], "v string")
+    row = hll_distinct_estimate(empty, "v").head()
+    assert row["registers_set"] == 0
+    assert row["sum_pow"] == 64 * (1 << HLL_RMAX)
+    assert row["hll_estimate"] == 709 * 64 // 1000
+    assert row["exact_distinct"] == 0 and row["err_milli"] is None
+
+
+def test_hll_validates_log2m(spark):
+    df = spark.createDataFrame([Row(v="x")])
+    with pytest.raises(ValueError):
+        hll_register_table(df, "v", log2m=17)
+    with pytest.raises(ValueError):
+        hll_register_table(df, "v", log2m=0)
