@@ -191,6 +191,55 @@ def hll_register_table(
     return buckets.groupBy("bucket").agg(F.max("rho").cast("int").alias("register"))
 
 
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    log2m: int = HLL_LOG2M,
+    alpha_milli: int = HLL_ALPHA_MILLI,
+) -> DataFrame:
+    """One-row raw estimate from an already-built (bucket, register)
+    table — e.g. the max-merge of several shards' or arrival waves'
+    register tables (``streaming.sketches``). Missing buckets contribute
+    the full ``1 << RMAX``; an all-missing (empty) table degrades to the
+    raw formula's floor, never NULL. Output: m, registers_set, sum_pow,
+    hll_estimate."""
+    if not 1 <= log2m <= 16:
+        raise ValueError(f"log2m must be in [1, 16], got {log2m}")
+    m = 1 << log2m
+    numerator = alpha_milli * m * m * (1 << HLL_RMAX)
+    return (
+        regs.agg(
+            F.count("*").cast("bigint").alias("registers_set"),
+            # F.shiftleft only takes a python-int shift; the SQL form
+            # accepts a column expression (bigint base keeps the 2^33
+            # shift in range). coalesce: an EMPTY table has zero registers
+            # and sum() over zero rows is NULL — the missing-bucket rule
+            # then needs 0 here so sum_pow degrades to m * 2^RMAX
+            F.coalesce(
+                F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - register)")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("sum_present"),
+        )
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            "registers_set",
+            (
+                F.col("sum_present")
+                + (F.lit(m) - F.col("registers_set")) * F.lit(1 << HLL_RMAX)
+            )
+            .cast("bigint")
+            .alias("sum_pow"),
+        )
+        .select(
+            "m",
+            "registers_set",
+            "sum_pow",
+            F.expr(f"div({numerator}, 1000 * sum_pow)").cast("bigint").alias("hll_estimate"),
+        )
+    )
+
+
 def hll_distinct_estimate(
     df: DataFrame,
     value_col: str,
@@ -213,46 +262,14 @@ def hll_distinct_estimate(
     yields the raw formula over all-missing registers (estimate ~= alpha
     * m / 1000) with err_milli NULL (division by exact_distinct = 0).
     """
-    m = 1 << log2m
-    regs = hll_register_table(df, value_col, log2m, seed)
-    reg_agg = regs.agg(
-        F.count("*").cast("bigint").alias("registers_set"),
-        # F.shiftleft only takes a python-int shift; the SQL form accepts a
-        # column expression (bigint base keeps the 2^33 shift in range).
-        # coalesce: an EMPTY corpus has zero registers and sum() over zero
-        # rows is NULL — the documented missing-bucket rule then needs 0
-        # here so sum_pow degrades to m * 2^RMAX, not NULL
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(cast(1 as bigint), {HLL_RMAX} - register)")),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("sum_present"),
+    est = hll_estimate_from_registers(
+        hll_register_table(df, value_col, log2m, seed), log2m, alpha_milli
     )
     exact = df.select(F.col(value_col)).distinct().agg(
         F.count("*").cast("bigint").alias("exact_distinct")
     )
-    numerator = alpha_milli * m * m * (1 << HLL_RMAX)
     return (
-        reg_agg.crossJoin(F.broadcast(exact))
-        .select(
-            F.lit(m).cast("bigint").alias("m"),
-            "registers_set",
-            (
-                F.col("sum_present")
-                + (F.lit(m) - F.col("registers_set")) * F.lit(1 << HLL_RMAX)
-            )
-            .cast("bigint")
-            .alias("sum_pow"),
-            "exact_distinct",
-        )
-        .select(
-            "m",
-            "registers_set",
-            "sum_pow",
-            F.expr(f"div({numerator}, 1000 * sum_pow)").cast("bigint").alias("hll_estimate"),
-            "exact_distinct",
-        )
+        est.crossJoin(F.broadcast(exact))
         .select(
             "m",
             "registers_set",
