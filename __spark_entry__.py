@@ -1769,6 +1769,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe_merges(docs, merges, n_merges=6)
 
 
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The R in DSIR: deterministic Bernoulli-by-weight resample of the
+    corpus — keep probability = importance_micro / scale, decided by one
+    row-local bigint comparison on an independent md5 coordinate (no
+    floats, no global sort). Output: full audit table with kept flag."""
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        importance_resample,
+    )
+
+    return importance_resample(
+        _table(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch over document TEXTS (the
     exact-dup-rate cardinality question): 64 registers of max(rho), merged
@@ -1923,6 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bpe_encode: tokenizer-family variant (apply/encode half) —
         # family repped in-window by bpe_merges (the learn half)
         "bpe_encode": q_bpe_encode,
+        # importance_resample: selection-family variant (the resampling
+        # half of DSIR) — family repped in-window by dsir_importance
+        "importance_resample": q_importance_resample,
     }
 
 
@@ -2172,6 +2189,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _oracles.hll_distinct_sql(),
         "classifier_inference": _oracles.classifier_inference_sql(),
         "bpe_encode": _oracles.bpe_encode_sql(),
+        "importance_resample": _oracles.importance_resample_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -292,3 +292,50 @@ def domain_token_allocation(
         .cast("bigint")
         .alias("rate_milli"),
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_N_BUCKETS,
+    scale: int = DSIR_SCALE,
+    seed: int = DSIR_SEED,
+    sample_seed: int = 23,
+) -> DataFrame:
+    """The R in DSIR: resample the corpus BY its importance weight — a
+    deterministic Bernoulli keep with per-document probability
+    ``importance_micro / scale`` (weights are ≤ ``scale`` by the add-one
+    ratio construction, so this is a genuine probability).
+
+    The keep decision is one row-local bigint comparison on the md5
+    sampling coordinate (``sampling.sample_key_column`` with its own
+    seed, so the sample is independent of the bucket hashes)::
+
+        keep  ⇔  key_32bit * scale < importance_micro * 2^32
+
+    — no division, no floats, reproducible across runs/partitionings/
+    engines, and monotone: raising a document's weight can only flip it
+    to kept. Deviation from the paper (documented, same spirit as
+    ``dsir_importance_table``): true DSIR draws a FIXED-SIZE sample via
+    Gumbel top-k; the Bernoulli form keeps the decision row-local (no
+    global sort at 100 TB) and the expected kept fraction equals the
+    mean importance weight.
+
+    Output: the importance table (id, n_ngrams, score_micro_sum,
+    importance_micro) + sample_key (the 32-bit coordinate) + kept (0/1).
+    Callers filter ``kept == 1``; the full table is the audit surface.
+    Mirrored by ``oracles.importance_resample_sql``.
+    """
+    from .sampling import sample_key_column
+
+    imp = dsir_importance_table(df, target_pred, id_col, text_col, n_buckets, scale, seed)
+    key = F.conv(sample_key_column(id_col, sample_seed), 16, 10).cast("bigint")
+    return imp.select(
+        "*",
+        key.alias("sample_key"),
+        (key * scale < F.col("importance_micro") * F.lit(1 << 32))
+        .cast("int")
+        .alias("kept"),
+    )

@@ -1985,3 +1985,27 @@ def classifier_inference_sql(
         "cast(CASE WHEN d.lang = b.label THEN 1 ELSE 0 END AS int) AS correct "
         f"FROM best b JOIN {source} d USING (doc_id) WHERE b.rn = 1"
     )
+
+
+def importance_resample_sql(
+    target_lang: str = "en",
+    n_buckets: int = 4096,
+    scale: int = 1_000_000,
+    seed: int = 7,
+    sample_seed: int = 23,
+) -> str:
+    """Mirror of operators.selection.importance_resample: the
+    dsir_importance_sql query nested as a CTE, plus the row-local
+    Bernoulli-by-weight keep — the same pure-bigint comparison
+    ``key * scale < importance_micro * 2^32`` on the '0x'-parsed md5
+    sampling coordinate."""
+    inner = dsir_importance_sql(target_lang, n_buckets, scale, seed)
+    return (
+        f"WITH imp AS ({inner}), "
+        "k AS (SELECT *, ('0x' || substr("
+        f"md5('{sample_seed}:' || cast(doc_id AS varchar)), 1, 8))::bigint AS sample_key"
+        " FROM imp) "
+        "SELECT doc_id, n_ngrams, score_micro_sum, importance_micro, sample_key, "
+        f"cast(CASE WHEN sample_key * {scale} < importance_micro * {1 << 32}"
+        " THEN 1 ELSE 0 END AS int) AS kept FROM k"
+    )

@@ -303,3 +303,64 @@ def test_domain_mixture_waterfill_properties(spark, seed):
     if capped:
         assert capped[-1] - capped[0] <= 1
         assert all(a <= capped[0] + 1 for a in alloc.values())
+
+
+# ------------------------------------------------ importance resampling
+
+
+def test_importance_resample_keep_rule_matches_hashlib(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        importance_resample,
+    )
+
+    rows = [
+        (0, "the quick brown fox", "en"),
+        (1, "le renard brun rapide", "fr"),
+        (2, "the slow brown dog", "en"),
+        (3, "der schnelle braune fuchs", "de"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in importance_resample(
+            _docs(spark, rows), target_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    for doc_id, row in out.items():
+        key = int(hashlib.md5(f"23:{doc_id}".encode()).hexdigest()[:8], 16)
+        assert row["sample_key"] == key
+        assert row["kept"] == int(key * 1_000_000 < row["importance_micro"] * (1 << 32))
+        assert 0 < row["importance_micro"] <= 1_000_000
+
+
+def test_importance_resample_kept_fraction_tracks_mean_weight(spark):
+    """E[kept] = mean weight: on a 400-doc corpus the realized fraction
+    must sit within a loose binomial band of the mean importance."""
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        importance_resample,
+    )
+
+    rows = [
+        (i, f"tok{i % 17} tok{i % 5} filler{i}", "en" if i % 3 == 0 else "fr")
+        for i in range(400)
+    ]
+    res = importance_resample(_docs(spark, rows), target_pred=F.col("lang") == "en")
+    agg = res.agg(
+        F.avg("kept").alias("frac"), (F.avg("importance_micro") / 1e6).alias("mean_w")
+    ).head()
+    assert abs(agg["frac"] - agg["mean_w"]) < 0.08, agg
+
+
+def test_importance_resample_monotone_in_weight(spark):
+    """Raising every weight to the cap keeps a SUPERSET: kept==1 rows stay
+    kept when importance_micro is forced to scale (key < 2^32 * 1)."""
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        importance_resample,
+    )
+
+    rows = [(i, f"w{i % 7} w{i % 3}", "en" if i % 2 else "fr") for i in range(100)]
+    res = importance_resample(_docs(spark, rows), target_pred=F.col("lang") == "en")
+    bad = res.filter(
+        (F.col("kept") == 1) & ~(F.col("sample_key") < F.lit(1 << 32))
+    ).count()
+    assert bad == 0
