@@ -177,7 +177,10 @@ def hll_register_table(
     that makes the sketch mergeable across 1000 executors or N runs.
 
     ``log2m`` is capped at 16: the bucket comes from a 4-hex-char (16-bit)
-    hash window, so more registers than 2^16 could never all be reached."""
+    hash window, so more registers than 2^16 could never all be reached.
+    The pure-bigint ESTIMATOR (``hll_estimate_from_registers``) supports
+    only log2m <= 10 (int64 numerator bound) — build wider register
+    tables only if estimating elsewhere."""
     if not 1 <= log2m <= 16:
         raise ValueError(f"log2m must be in [1, 16], got {log2m}")
     m = 1 << log2m
@@ -201,9 +204,23 @@ def hll_estimate_from_registers(
     register tables (``streaming.sketches``). Missing buckets contribute
     the full ``1 << RMAX``; an all-missing (empty) table degrades to the
     raw formula's floor, never NULL. Output: m, registers_set, sum_pow,
-    hll_estimate."""
-    if not 1 <= log2m <= 16:
-        raise ValueError(f"log2m must be in [1, 16], got {log2m}")
+    hll_estimate.
+
+    ``log2m`` is capped at 10 here (tighter than ``hll_register_table``'s
+    16): the numerator ``alpha_milli * m^2 * 2^33`` must stay inside
+    int64 for the pure-bigint division — at log2m=11 it would overflow
+    into Spark's DecimalType while a DuckDB mirror goes HUGEINT→float,
+    the exact cross-engine divergence class CLAUDE.md bans.
+
+    The input is validated cheaply at run time: ``registers_set <= m``
+    (via ``assert_true``). A raw multi-wave ledger passed without the
+    max-merge, or a register table built with a larger log2m than the
+    estimator is told, fails the job instead of silently producing a
+    negative/garbage estimate."""
+    if not 1 <= log2m <= 10:
+        raise ValueError(
+            f"log2m must be in [1, 10] (numerator alpha*m^2*2^33 must fit int64), got {log2m}"
+        )
     m = 1 << log2m
     numerator = alpha_milli * m * m * (1 << HLL_RMAX)
     return (
@@ -223,7 +240,21 @@ def hll_estimate_from_registers(
         )
         .select(
             F.lit(m).cast("bigint").alias("m"),
-            "registers_set",
+            # value passthrough + runtime guard: assert_true yields NULL
+            # when the predicate holds (so the when() keeps the value) and
+            # fails the job when registers_set > m — an unmerged ledger or
+            # a log2m mismatch, which would otherwise drive sum_pow
+            # negative and return garbage silently
+            F.when(
+                F.assert_true(
+                    F.col("registers_set") <= F.lit(m),
+                    F.lit(
+                        "registers_set exceeds m: pass a max-merged register "
+                        "table (read_hll_registers) and the log2m it was built with"
+                    ),
+                ).isNull(),
+                F.col("registers_set"),
+            ).alias("registers_set"),
             (
                 F.col("sum_present")
                 + (F.lit(m) - F.col("registers_set")) * F.lit(1 << HLL_RMAX)

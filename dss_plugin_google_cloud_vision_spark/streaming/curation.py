@@ -40,6 +40,7 @@ from ..operators.pages import extract_pages_typed
 from ..operators.textstats import gopher_columns
 from ..sources.pages import PAGES_DDL
 from .dedup import stream_exact_dedup
+from .util import available_now_foreach_batch
 
 
 def stream_curate_available_now(
@@ -60,31 +61,25 @@ def stream_curate_available_now(
     stateful group the batch plan does after the fact; the stream keeps
     every stage stateless except the dedup ledger). Output rows: url,
     warc_ts, lang, page_number, text, n_words, _fp."""
-    pages = (
-        spark.readStream.schema(PAGES_DDL).format("parquet").option("path", input_dir).load()
-    )
-    extracted = extract_pages_typed(pages, error_handling=ErrorHandling.LOG)
-    docs = (
-        extracted.filter(F.col("error_type") == "")
-        .select(
-            "url",
-            "warc_ts",
-            "lang",
-            "page_number",
-            F.col("extracted_text").alias("text"),
+    def curate(pages):
+        extracted = extract_pages_typed(pages, error_handling=ErrorHandling.LOG)
+        docs = (
+            extracted.filter(F.col("error_type") == "")
+            .select(
+                "url",
+                "warc_ts",
+                "lang",
+                "page_number",
+                F.col("extracted_text").alias("text"),
+            )
         )
-    )
-    gate = gopher_columns(min_words=min_words)
-    gated = docs.withColumn("n_words", gate["n_words"]).filter(gate["keep"] == 1)
-    deduped = stream_exact_dedup(gated, watermark=watermark)
+        gate = gopher_columns(min_words=min_words)
+        gated = docs.withColumn("n_words", gate["n_words"]).filter(gate["keep"] == 1)
+        return stream_exact_dedup(gated, watermark=watermark)
 
     def append_corpus(batch_df, batch_id):
         batch_df.write.mode("append").parquet(output_dir)
 
-    return (
-        deduped.writeStream.foreachBatch(append_corpus)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return available_now_foreach_batch(
+        spark, input_dir, checkpoint_dir, PAGES_DDL, append_corpus, transform=curate
     )

@@ -46,6 +46,7 @@ from ..operators.dedup import (
     lsh_band_keys,
     minhash_signature,
 )
+from .util import available_now_foreach_batch
 
 
 def _band_table(
@@ -145,13 +146,6 @@ def stream_near_dup_filter_available_now(
             survivors, id_col, text_col, n_hashes, bands, shingle_k
         ).write.mode("append").parquet(bands_dir)
 
-    stream = (
-        spark.readStream.schema(schema_ddl).format("parquet").option("path", input_dir).load()
-    )
-    return (
-        stream.writeStream.foreachBatch(process_wave)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return available_now_foreach_batch(
+        spark, input_dir, checkpoint_dir, schema_ddl, process_wave
     )

@@ -20,13 +20,16 @@ Exactly-once semantics differ per sketch and drive the two designs:
   exactly-once guarantee.
 
 - **count-min** (``stream_countmin_available_now``): the merge is SUM
-  over cells — NOT idempotent, so each appended grid is stamped with its
-  ``batch_id`` and the read side (``read_countmin``) first collapses
-  per-(batch, cell) duplicates with ``max`` (a replay of the same batch
-  recomputes the identical deterministic grid, so max == the value; a
-  torn append that left only part of a batch's cells is healed by the
-  replay's full set), THEN sums across batches — the standard
-  idempotent-foreachBatch batch-id discipline.
+  over cells — NOT idempotent, so each appended grid is stamped with
+  ``(run_id, batch_id)`` and the read side (``read_countmin``) first
+  collapses per-(run, batch, cell) duplicates with ``max`` (a replay of
+  the same batch recomputes the identical deterministic grid, so max ==
+  the value; a torn append that left only part of a batch's cells is
+  healed by the replay's full set), THEN sums across batches — the
+  standard idempotent-foreachBatch batch-id discipline. ``run_id`` exists
+  because batch ids restart at 0 with a fresh checkpoint: a new
+  checkpoint over a kept ledger needs a new run_id or its waves would
+  collapse against the old run's same-numbered batches.
 
 Ledger growth is bounded: ≤ 2^log2m rows per wave (HLL) / ≤ depth*width
 rows per wave (count-min) — compaction is a plain rewrite of the merged
@@ -49,24 +52,7 @@ from ..operators.sketches import (
     countmin_table,
     hll_register_table,
 )
-
-
-def _available_now(
-    spark: SparkSession,
-    input_dir: str,
-    checkpoint_dir: str,
-    schema_ddl: str,
-    process_wave,
-) -> StreamingQuery:
-    stream = (
-        spark.readStream.schema(schema_ddl).format("parquet").option("path", input_dir).load()
-    )
-    return (
-        stream.writeStream.foreachBatch(process_wave)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+from .util import available_now_foreach_batch
 
 
 def stream_hll_available_now(
@@ -87,7 +73,9 @@ def stream_hll_available_now(
         regs = hll_register_table(batch_df, value_col, log2m, seed)
         regs.write.mode("append").parquet(registers_dir)
 
-    return _available_now(spark, input_dir, checkpoint_dir, schema_ddl, process_wave)
+    return available_now_foreach_batch(
+        spark, input_dir, checkpoint_dir, schema_ddl, process_wave
+    )
 
 
 def read_hll_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
@@ -111,28 +99,43 @@ def stream_countmin_available_now(
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
     seed: int = CM_SEED,
+    run_id: str = "run0",
 ) -> StreamingQuery:
-    """Append each wave's count-min grid (stamped with its batch_id) to
-    the grid ledger, then stop. Replays re-append under the SAME batch_id
-    and are collapsed at read time."""
+    """Append each wave's count-min grid (stamped with (run_id, batch_id))
+    to the grid ledger, then stop. Replays re-append under the SAME stamp
+    and are collapsed at read time.
+
+    ``run_id`` binds the batch-id sequence to its checkpoint lineage:
+    batch ids restart at 0 whenever a checkpoint is recreated, so a new
+    checkpoint over a kept ledger (or a second pipeline sharing the
+    ledger dir) MUST pass a fresh run_id — otherwise its batch 0 would
+    collapse against the old run's batch 0 at read time and silently
+    undercount. Replays within one checkpoint keep the same run_id and
+    dedupe exactly as before."""
 
     def process_wave(batch_df: DataFrame, batch_id: int) -> None:
         grid = countmin_table(batch_df, text_col, depth, width, seed).select(
-            F.lit(batch_id).cast("bigint").alias("batch_id"), "row", "bucket", "cnt"
+            F.lit(run_id).alias("run_id"),
+            F.lit(batch_id).cast("bigint").alias("batch_id"),
+            "row",
+            "bucket",
+            "cnt",
         )
         grid.write.mode("append").parquet(grid_dir)
 
-    return _available_now(spark, input_dir, checkpoint_dir, schema_ddl, process_wave)
+    return available_now_foreach_batch(
+        spark, input_dir, checkpoint_dir, schema_ddl, process_wave
+    )
 
 
 def read_countmin(spark: SparkSession, grid_dir: str) -> DataFrame:
-    """The merged grid: per-(batch, cell) max (replay dedup — a batch's
-    grid is deterministic, so duplicates carry equal counts), then the
-    cross-batch sum. Identical to ``countmin_table`` over everything ever
-    delivered (tested). Feed to ``operators.sketches.countmin_estimates``."""
+    """The merged grid: per-(run, batch, cell) max (replay dedup — a
+    batch's grid is deterministic, so duplicates carry equal counts), then
+    the cross-batch sum. Identical to ``countmin_table`` over everything
+    ever delivered (tested). Feed to ``operators.sketches.countmin_estimates``."""
     per_batch = (
         spark.read.parquet(grid_dir)
-        .groupBy("batch_id", "row", "bucket")
+        .groupBy("run_id", "batch_id", "row", "bucket")
         .agg(F.max("cnt").alias("cnt"))
     )
     return (

@@ -352,15 +352,31 @@ def test_importance_resample_kept_fraction_tracks_mean_weight(spark):
 
 
 def test_importance_resample_monotone_in_weight(spark):
-    """Raising every weight to the cap keeps a SUPERSET: kept==1 rows stay
-    kept when importance_micro is forced to scale (key < 2^32 * 1)."""
+    """Monotone in weight: re-deciding the keep rule at doubled (capped)
+    weights may only flip rows INTO the sample — no kept row drops out.
+    The doubled-weight decision is recomputed from the audit columns with
+    the canonical comparison, so an inverted operator comparison produces
+    kept rows above the doubled threshold and fails here; the corpus is
+    checked to contain both kept and dropped rows (non-vacuous)."""
     from dss_plugin_google_cloud_vision_spark.operators.selection import (
         importance_resample,
     )
 
+    scale, shift = 1_000_000, 1 << 32
     rows = [(i, f"w{i % 7} w{i % 3}", "en" if i % 2 else "fr") for i in range(100)]
     res = importance_resample(_docs(spark, rows), target_pred=F.col("lang") == "en")
-    bad = res.filter(
-        (F.col("kept") == 1) & ~(F.col("sample_key") < F.lit(1 << 32))
-    ).count()
-    assert bad == 0
+    doubled = F.least(F.col("importance_micro") * 2, F.lit(scale))
+    agg = res.select(
+        "kept",
+        (F.col("sample_key") * scale < doubled * F.lit(shift))
+        .cast("int")
+        .alias("kept_doubled"),
+    ).agg(
+        F.sum(F.when((F.col("kept") == 1) & (F.col("kept_doubled") == 0), 1).otherwise(0)).alias(
+            "dropped"
+        ),
+        F.sum("kept").alias("n_kept"),
+        F.count("*").alias("n"),
+    ).head()
+    assert agg["dropped"] == 0, agg
+    assert 0 < agg["n_kept"] < agg["n"], agg

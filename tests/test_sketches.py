@@ -257,3 +257,31 @@ def test_hll_validates_log2m(spark):
         hll_register_table(df, "v", log2m=17)
     with pytest.raises(ValueError):
         hll_register_table(df, "v", log2m=0)
+
+
+def test_hll_estimator_rejects_overflowing_log2m(spark):
+    """The estimator numerator alpha*m^2*2^33 leaves int64 at log2m=11 —
+    refused up front (register tables alone may still go to 16)."""
+    from dss_plugin_google_cloud_vision_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    regs = spark.createDataFrame([Row(bucket=0, register=1)])
+    with pytest.raises(ValueError, match="int64"):
+        hll_estimate_from_registers(regs, log2m=11)
+    hll_estimate_from_registers(regs, log2m=10).head()  # boundary OK
+
+
+def test_hll_estimator_fails_on_unmerged_ledger(spark):
+    """An unmerged multi-wave ledger (duplicate buckets, count > m) must
+    fail the job — not silently return a negative/garbage estimate."""
+    from dss_plugin_google_cloud_vision_spark.operators.sketches import (
+        hll_estimate_from_registers,
+    )
+
+    # 3 waves × 64 buckets = 192 rows > m=64
+    ledger = spark.createDataFrame(
+        [Row(bucket=b, register=1 + (w % 3)) for w in range(3) for b in range(64)]
+    )
+    with pytest.raises(Exception, match="registers_set exceeds m"):
+        hll_estimate_from_registers(ledger, log2m=6).head()

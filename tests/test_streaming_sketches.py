@@ -125,9 +125,37 @@ def test_streaming_countmin_replay_collapses_on_batch_id(spark, tmp_path):
 
     wave = spark.createDataFrame(_rows(0, 60), DDL)
     full = countmin_table(wave).select(
-        F.lit(0).cast("bigint").alias("batch_id"), "row", "bucket", "cnt"
+        F.lit("run0").alias("run_id"),
+        F.lit(0).cast("bigint").alias("batch_id"),
+        "row",
+        "bucket",
+        "cnt",
     )
     # torn append first (half the cells), then the full replay
     full.filter(F.col("bucket") % 2 == 0).write.mode("append").parquet(grid_dir)
     full.write.mode("append").parquet(grid_dir)
     assert _grid_dict(read_countmin(spark, grid_dir)) == merged_before
+
+
+def test_streaming_countmin_new_run_id_sums_not_collapses(spark, tmp_path):
+    """A fresh checkpoint restarts batch ids at 0: with a NEW run_id the
+    re-delivered wave SUMS against the old run's batch 0 (double count,
+    as delivered); the run_id column is what keeps that distinct from a
+    same-run replay, which still collapses."""
+    input_dir, grid_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "grid"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_wave(spark, input_dir, _rows(0, 60))
+    stream_countmin_available_now(
+        spark, input_dir, grid_dir, ckpt, DDL, run_id="runA"
+    ).awaitTermination(300)
+    once = _grid_dict(read_countmin(spark, grid_dir))
+
+    # checkpoint lost: same input reprocessed from scratch under a new run
+    stream_countmin_available_now(
+        spark, input_dir, grid_dir, str(tmp_path / "ckpt2"), DDL, run_id="runB"
+    ).awaitTermination(300)
+    twice = _grid_dict(read_countmin(spark, grid_dir))
+    assert twice == {cell: 2 * cnt for cell, cnt in once.items()}
