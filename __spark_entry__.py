@@ -1783,6 +1783,19 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-chrome metadata (title, link census, footer, lead-article
+    size) parsed from the rendered payload BYTES in one codegen
+    projection; the oracle predicts every column analytically from the
+    render template (golden cross-check — media_features discipline)."""
+    from dss_plugin_google_cloud_vision_spark.operators.metadata import page_metadata
+
+    pages = documents_as_pages(_table(spark, sf_dir, "documents"))
+    return page_metadata(pages).select(
+        "doc_id", "is_html", "title", "n_anchors", "has_footer", "article_chars"
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch over document TEXTS (the
     exact-dup-rate cardinality question): 64 registers of max(rho), merged
@@ -1940,6 +1953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # importance_resample: selection-family variant (the resampling
         # half of DSIR) — family repped in-window by dsir_importance
         "importance_resample": q_importance_resample,
+        # page_metadata: extraction-family variant (the page-chrome
+        # metadata half of the extractor) — family repped in-window by
+        # extract_text_identity / extract_split_identity
+        "page_metadata": q_page_metadata,
     }
 
 
@@ -2190,6 +2207,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_inference": _oracles.classifier_inference_sql(),
         "bpe_encode": _oracles.bpe_encode_sql(),
         "importance_resample": _oracles.importance_resample_sql(),
+        "page_metadata": _oracles.page_metadata_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -2009,3 +2009,23 @@ def importance_resample_sql(
         f"cast(CASE WHEN sample_key * {scale} < importance_micro * {1 << 32}"
         " THEN 1 ELSE 0 END AS int) AS kept FROM k"
     )
+
+
+def page_metadata_sql() -> str:
+    """Mirror of operators.metadata.page_metadata over the RENDERED pages
+    corpus (sources.render.documents_as_pages) — fully ANALYTIC: the
+    render template is a pure function of (doc_id, text), so every
+    metadata column is predicted from generation parameters (title =
+    'doc '||doc_id, the template's fixed 5 anchors and footer, lead
+    article = the HTML-escaped text) while the Spark side PARSES the
+    actual payload bytes. Same golden-cross-check discipline as
+    media_features: the two sides only agree if the byte-level
+    extraction is right."""
+    return (
+        "SELECT doc_id, cast(1 AS int) AS is_html, "
+        "'doc ' || cast(doc_id AS varchar) AS title, "
+        "cast(5 AS int) AS n_anchors, cast(1 AS int) AS has_footer, "
+        "cast(length(replace(replace(replace(text, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;')) AS int) AS article_chars "
+        "FROM documents"
+    )
