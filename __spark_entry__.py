@@ -1796,6 +1796,56 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval at corpus scale: top-15 documents for a 3-term
+    query under integer-exact BM25 (log-free rational idf — the module
+    docstring documents the deviation). Plan shape: posting lists
+    filtered to the query's terms before the only corpus-proportional
+    shuffle (the (doc, dl, token) tf rollup); df and N/L are broadcast
+    1-row/3-row aggregates; top-k is TakeOrderedAndProject."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "merge", "join"], k=15)
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-vs-corpus overlap (dataset versioning): each corpus
+    collapses to a 12-row MinHash signature in one map-combined pass
+    (bounded state at ANY size), the estimate is a 12-row broadcast
+    join; the exact shingle-set Jaccard rides along as the honesty
+    column (hll_distinct discipline — skipped at production scale).
+    Corpus B = even-id docs verbatim ∪ mod-5 docs with a drift suffix."""
+    from dss_plugin_google_cloud_vision_spark.operators.corpus_diff import (
+        corpus_overlap_report,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    corpus_b = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                F.concat(F.col("text"), F.lit(" novel drift token")).alias("text")
+            )
+        )
+    )
+    return corpus_overlap_report(docs.select("text"), corpus_b)
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search on the inverted index: each phrase slot
+    equi-joins its filtered posting list on (doc, pos - slot) — hash
+    joins only, overlapping matches counted. Output: matching docs with
+    match count and first anchor position."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        phrase_search,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["the", "spark"])
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch over document TEXTS (the
     exact-dup-rate cardinality question): 64 registers of max(rho), merged
@@ -1848,7 +1898,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # make room for the graph-centrality family (domain_pagerank)
         "near_dup_pairs": q_near_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "simhash_near_dups": q_simhash_near_dups,
+        # corpus_overlap is the corpus-level-comparison family rep
+        # (bounded MinHash sketch diff between two corpora);
+        # simhash_near_dups moved below the window — sketch-banded
+        # near-dup stays repped in-window by near_dup_pairs (MinHash) and
+        # semantic_dedup (embedding)
+        "corpus_overlap": q_corpus_overlap,
         # classifier_inference is the model-based-scoring family rep
         # (hashed-feature linear classifier: broadcast weights +
         # map-combined dot + argmax); embedding_near_dups moved below the
@@ -1880,7 +1935,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_search": q_ivf_pq_search,
         # --- text-analysis / pipeline families ---
         "text_quality_profile": q_text_quality_profile,
-        "fingerprints": q_fingerprints,
+        # bm25_topk is the lexical-retrieval family rep (filtered posting
+        # lists + broadcast df/N + integer BM25 + TakeOrdered top-k);
+        # fingerprints moved below the window — the document-fingerprint
+        # family stays repped in-window by simhash_near_dups
+        "bm25_topk": q_bm25_topk,
         "gopher_quality": q_gopher_quality,
         # dsir_importance is the data-selection family rep (hashed-ngram
         # importance weighting); token_rarity moved below the window —
@@ -1957,6 +2016,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata half of the extractor) — family repped in-window by
         # extract_text_identity / extract_split_identity
         "page_metadata": q_page_metadata,
+        # fingerprints: document-fingerprint variant (rolling-hash prefix
+        # fingerprint) — family repped in-window by simhash_near_dups
+        "fingerprints": q_fingerprints,
+        # phrase_search: lexical-retrieval variant (positional phrase
+        # matching) — family repped in-window by bm25_topk
+        "phrase_search": q_phrase_search,
+        # simhash_near_dups: near-dup variant (SimHash pigeonhole bands)
+        # — family repped in-window by near_dup_pairs / semantic_dedup
+        "simhash_near_dups": q_simhash_near_dups,
     }
 
 
@@ -2208,6 +2276,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": _oracles.bpe_encode_sql(),
         "importance_resample": _oracles.importance_resample_sql(),
         "page_metadata": _oracles.page_metadata_sql(),
+        "bm25_topk": _oracles.bm25_topk_sql(),
+        "phrase_search": _oracles.phrase_search_sql(),
+        "corpus_overlap": _oracles.corpus_overlap_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

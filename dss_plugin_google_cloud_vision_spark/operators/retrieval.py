@@ -1,0 +1,184 @@
+# -*- coding: utf-8 -*-
+"""Lexical retrieval over the corpus: inverted postings, BM25-style
+ranked search, and positional phrase search.
+
+A training-data pipeline needs corpus search long before it needs a
+serving stack: decontamination mining ("which documents mention this
+benchmark string?"), targeted quality audits, and dataset debugging are
+all top-k lexical retrieval over the same parquet the curation operators
+read. The 100 TB shape is relational end to end:
+
+- ``postings`` — the inverted-index grain: one row per token occurrence
+  ``(token, id, pos)``. Corpus-sized but narrow; every retrieval query
+  FILTERS it to the query's terms before any shuffle, so the state that
+  moves is proportional to the query's posting lists, never the corpus.
+
+- ``bm25_topk`` — BM25 ranking with a log-free rational idf surrogate:
+  ``idf_milli = div((2N - 2df + 1) * 1000, 2df + 1)`` is the
+  Robertson–Sparck-Jones odds ratio WITHOUT the log. Log-free on
+  purpose: engine ``ln`` ULP drift breaks cross-engine exactness
+  (CLAUDE.md rule; the same deviation DSIR and the classifier document).
+  The idf log is monotone, so per-TERM ordering is preserved; the
+  cross-term sum weights rare terms more sharply than true BM25 — a
+  documented scoring-function choice, exact on both engines. The tf
+  saturation is the classic ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+  with k1, b as centi-integers and ``avgdl_centi = div(100*L, N)``;
+  every division is a bigint ``div``. Integer-exactness bounds
+  (documented, not silently truncated): ``tf * avgdl_centi < ~4e8`` for
+  the saturation numerator and ``N < ~2e9`` for idf_milli * saturation —
+  shrink the milli/micro scales before a corpus outgrows them.
+
+  Plan shape: doc lengths are row-local; N/L is a 1-row aggregate
+  (broadcast); per-term df over the FILTERED postings is ≤ n_query_terms
+  rows (broadcast); the only corpus-proportional shuffle is the
+  (id, token) tf rollup of the query terms' posting lists; top-k is
+  TakeOrderedAndProject via the shared ``_ranked_topk``.
+
+- ``phrase_search`` — exact m-token phrase matching on the positional
+  index: each phrase slot i equi-joins on ``(id, pos - i)`` (the anchor
+  position), so adjacency is a hash join, never a range predicate. The
+  posting lists are filtered to the phrase's tokens before the first
+  shuffle. Overlapping matches count individually (text "a a a" matches
+  phrase "a a" at anchors 1 and 2).
+
+Reference anchor: the reference plugin has no retrieval surface (its
+closest op is the content-list score filter,
+dataiku/dss-plugin-google-cloud-vision python-lib/
+api_image_formatting.py:105-118); this module is part of the engine's
+LLM-pipeline layer.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _ranked_topk
+
+BM25_SCALE = 1_000_000
+BM25_K1_CENTI = 120  # k1 = 1.2
+BM25_B_CENTI = 75  # b = 0.75
+
+
+def postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted postings: one row per token occurrence
+    ``(id, pos, token)``, pos 1-based (matches SQL generate_series).
+    Row-local (posexplode of the whitespace split) — zero shuffle; the
+    grain every retrieval operator filters before shuffling."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(F.col(id_col), F.posexplode(toks).alias("_p0", "token")).select(
+        id_col, (F.col("_p0") + 1).cast("int").alias("pos"), "token"
+    )
+
+
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc token length, row-local: (id, dl)."""
+    return df.select(
+        F.col(id_col), F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("dl")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_centi: int = BM25_K1_CENTI,
+    b_centi: int = BM25_B_CENTI,
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query under integer-exact
+    BM25 (rational idf — see module docstring for the documented
+    log-free deviation and overflow bounds).
+
+    Output: (id, score_micro, n_terms_matched, rank); ties broken by
+    ascending id. Repeated query terms are deduplicated (set semantics,
+    like a WHERE token IN (...) list)."""
+    terms: List[str] = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    lengths = corpus_stats(df, id_col, text_col)
+    totals = lengths.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    # dl rides through the explode (functionally dependent on id, so it
+    # folds into the tf grouping key) — matched docs' lengths arrive with
+    # their postings instead of via a corpus-sized (id, dl) join
+    toks = F.split(F.col(text_col), " ")
+    qpost = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("dl"),
+            F.explode(toks).alias("token"),
+        )
+    ).filter(F.col("token").isin(terms))
+    tf = qpost.groupBy(id_col, "dl", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    # (id, token) is distinct after the rollup, so df_t is a plain count;
+    # ≤ len(terms) rows — broadcast back onto the posting lists
+    dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df_t"))
+    scored_terms = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("avgdl_centi", F.expr("div(100 * total_len, n_docs)"))
+        .withColumn(
+            "idf_milli",
+            F.expr("div((2 * n_docs - 2 * df_t + 1) * 1000, 2 * df_t + 1)"),
+        )
+        .withColumn(
+            "tf_sat_micro",
+            F.expr(
+                f"div(tf * {100 + k1_centi} * 100 * avgdl_centi * {scale}, "
+                f"10000 * avgdl_centi * tf "
+                f"+ {k1_centi} * ({100 - b_centi} * avgdl_centi + {100 * b_centi} * dl))"
+            ),
+        )
+        .withColumn("term_score_micro", F.expr("div(idf_milli * tf_sat_micro, 1000)"))
+    )
+    scored = scored_terms.groupBy(id_col).agg(
+        F.sum("term_score_micro").cast("bigint").alias("score_micro"),
+        F.count("*").cast("bigint").alias("n_terms_matched"),
+    )
+    return _ranked_topk(scored, k, id_col, "score_micro")
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase matching: documents containing the token
+    sequence ``phrase`` contiguously, with per-doc match count and first
+    match position (1-based anchor). Only matching documents appear.
+
+    Each slot i of the phrase contributes the posting list of its token
+    shifted to the anchor coordinate (pos - i); an m-way equi-join on
+    (id, anchor) keeps exactly the anchors where all m slots line up —
+    hash joins only, no range conditions, posting lists filtered to the
+    phrase's tokens before any shuffle. A repeated token in the phrase
+    self-joins its own (filtered) posting list, which is correct and
+    counts overlapping matches individually."""
+    words: List[str] = list(phrase)
+    if not words:
+        raise ValueError("phrase_search requires a non-empty phrase")
+    post = postings(df, id_col, text_col)
+    anchors = None
+    for i, w in enumerate(words):
+        slot = post.filter(F.col("token") == w).select(
+            id_col, (F.col("pos") - i).alias("anchor")
+        )
+        anchors = slot if anchors is None else anchors.join(slot, [id_col, "anchor"])
+    return anchors.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min("anchor").cast("int").alias("first_pos"),
+    )

@@ -2029,3 +2029,154 @@ def page_metadata_sql() -> str:
         "'<', '&lt;'), '>', '&gt;')) AS int) AS article_chars "
         "FROM documents"
     )
+
+
+def bm25_topk_sql(
+    query_terms=("spark", "merge", "join"),
+    k: int = 15,
+    k1_centi: int = 120,
+    b_centi: int = 75,
+    scale: int = 1_000_000,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.retrieval.bm25_topk: whitespace postings with
+    doc length riding the explode, tf/df over the query terms only, the
+    log-free rational idf_milli, centi-integer tf saturation, and the
+    per-doc term-score sum — every division a positive-operand ``//``
+    (== Spark ``div``), ranked (score DESC, doc_id)."""
+    terms = sorted(set(query_terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (
+        "WITH docs AS ("
+        f" SELECT doc_id, string_split(text, ' ') AS toks FROM {source}), "
+        "tot AS ("
+        " SELECT cast(count(*) AS bigint) AS n_docs,"
+        " cast(sum(len(toks)) AS bigint) AS total_len FROM docs), "
+        "post AS ("
+        " SELECT doc_id, cast(len(toks) AS bigint) AS dl, unnest(toks) AS token"
+        " FROM docs), "
+        "tf AS ("
+        " SELECT doc_id, dl, token, cast(count(*) AS bigint) AS tf"
+        f" FROM post WHERE token IN ({in_list}) GROUP BY doc_id, dl, token), "
+        "dft AS ("
+        " SELECT token, cast(count(*) AS bigint) AS df_t FROM tf GROUP BY token), "
+        "st AS ("
+        " SELECT tf.doc_id,"
+        " (100 * tot.total_len) // tot.n_docs AS avgdl_centi,"
+        " ((2 * tot.n_docs - 2 * dft.df_t + 1) * 1000) // (2 * dft.df_t + 1)"
+        "  AS idf_milli,"
+        " tf.tf, tf.dl"
+        " FROM tf JOIN dft USING (token) CROSS JOIN tot), "
+        "ts AS ("
+        " SELECT doc_id, idf_milli,"
+        f" (tf * {100 + k1_centi} * 100 * avgdl_centi * {scale})"
+        f"  // (10000 * avgdl_centi * tf"
+        f"   + {k1_centi} * ({100 - b_centi} * avgdl_centi + {100 * b_centi} * dl))"
+        "  AS tf_sat_micro"
+        " FROM st), "
+        "scored AS ("
+        " SELECT doc_id,"
+        " cast(sum((idf_milli * tf_sat_micro) // 1000) AS bigint) AS score_micro,"
+        " cast(count(*) AS bigint) AS n_terms_matched"
+        " FROM ts GROUP BY doc_id) "
+        "SELECT doc_id, score_micro, n_terms_matched, cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank"
+        " FROM scored) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def phrase_search_sql(
+    phrase=("the", "spark"),
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.retrieval.phrase_search: zipped positional
+    unnest, each phrase slot i shifted to its anchor (pos - i), m-way
+    equi-join on (doc_id, anchor), per-doc match count + first anchor.
+    Overlapping matches count individually on both engines."""
+    words = list(phrase)
+    post = (
+        "post AS ("
+        " SELECT doc_id, unnest(toks) AS token,"
+        " unnest(generate_series(1, len(toks))) AS pos"
+        f" FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {source}))"
+    )
+    slots = []
+    for i, w in enumerate(words):
+        esc = w.replace("'", "''")
+        slots.append(
+            f"s{i} AS (SELECT doc_id, pos - {i} AS anchor FROM post"
+            f" WHERE token = '{esc}')"
+        )
+    joins = " ".join(
+        f"JOIN s{i} USING (doc_id, anchor)" for i in range(1, len(words))
+    )
+    return (
+        f"WITH {post}, " + ", ".join(slots) + " "
+        "SELECT doc_id, cast(count(*) AS bigint) AS n_matches, "
+        "cast(min(anchor) AS int) AS first_pos "
+        f"FROM s0 {joins} GROUP BY doc_id"
+    )
+
+
+def corpus_overlap_sql(
+    n_hashes: int = DEFAULT_N_HASHES,
+    shingle_k: int = DEFAULT_SHINGLE_K,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.corpus_diff.corpus_overlap_report over corpus
+    A = documents and the derived corpus B = (even-id docs verbatim) ∪
+    (mod-5 docs with a drift suffix): per-slot corpus mins of
+    md5('<slot>#'||shingle) (duplicates don't move a min — no DISTINCT on
+    the sketch side), slot-match count, and the exact shingle-set Jaccard
+    honesty columns, every division a positive-operand ``//``."""
+    parts = " || ' ' || ".join(
+        f"tokens[i+{o}]" if o else "tokens[i]" for o in range(shingle_k)
+    )
+    def sh(src: str, name: str) -> str:
+        return (
+            f"{name} AS ("
+            f" SELECT unnest(CASE WHEN len(tokens) >= {shingle_k}"
+            f"  THEN list_transform(generate_series(1, len(tokens)-{shingle_k - 1}),"
+            f"   i -> {parts})"
+            f"  ELSE [text] END) AS shingle"
+            f" FROM (SELECT text, string_split(text, ' ') AS tokens FROM {src}))"
+        )
+    return (
+        f"WITH a_docs AS (SELECT text FROM {source}), "
+        "b_docs AS ("
+        f" SELECT text FROM {source} WHERE doc_id % 2 = 0"
+        " UNION ALL"
+        f" SELECT text || ' novel drift token' AS text FROM {source}"
+        "  WHERE doc_id % 5 = 0), "
+        + sh("a_docs", "a_sh") + ", "
+        + sh("b_docs", "b_sh") + ", "
+        f"slots AS (SELECT unnest(generate_series(0, {n_hashes - 1})) AS slot), "
+        "a_min AS ("
+        " SELECT slot, min(md5(cast(slot AS varchar) || '#' || shingle)) AS min_a"
+        " FROM a_sh CROSS JOIN slots GROUP BY slot), "
+        "b_min AS ("
+        " SELECT slot, min(md5(cast(slot AS varchar) || '#' || shingle)) AS min_b"
+        " FROM b_sh CROSS JOIN slots GROUP BY slot), "
+        "est AS ("
+        " SELECT cast(count(*) AS bigint) AS n_hashes,"
+        " cast(sum(CASE WHEN min_a = min_b THEN 1 ELSE 0 END) AS bigint)"
+        "  AS matching_slots"
+        " FROM a_min JOIN b_min USING (slot)), "
+        "da AS (SELECT DISTINCT shingle FROM a_sh), "
+        "db AS (SELECT DISTINCT shingle FROM b_sh), "
+        "cnt AS ("
+        " SELECT (SELECT cast(count(*) AS bigint) FROM da) AS n_shingles_a,"
+        " (SELECT cast(count(*) AS bigint) FROM db) AS n_shingles_b,"
+        " (SELECT cast(count(*) AS bigint) FROM da JOIN db USING (shingle))"
+        "  AS n_shared) "
+        "SELECT n_hashes, matching_slots, "
+        "cast((1000 * matching_slots) // n_hashes AS bigint) AS est_jaccard_milli, "
+        "n_shingles_a, n_shingles_b, n_shared, "
+        "cast((1000 * n_shared) // (n_shingles_a + n_shingles_b - n_shared) AS bigint)"
+        " AS exact_jaccard_milli, "
+        "cast(abs((1000 * matching_slots) // n_hashes"
+        " - (1000 * n_shared) // (n_shingles_a + n_shingles_b - n_shared)) AS bigint)"
+        " AS err_milli "
+        "FROM est CROSS JOIN cnt"
+    )

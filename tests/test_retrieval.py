@@ -1,0 +1,150 @@
+# -*- coding: utf-8 -*-
+"""Lexical retrieval: postings grain, integer BM25 against a python
+reference fold, positional phrase search (incl. overlapping matches),
+and the plan shapes that matter at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+    BM25_B_CENTI,
+    BM25_K1_CENTI,
+    BM25_SCALE,
+    bm25_topk,
+    corpus_stats,
+    phrase_search,
+    postings,
+)
+
+DOCS = [
+    (1, "spark merge join spark spark"),
+    (2, "the quick brown fox jumps over the lazy dog"),
+    (3, "merge join merge join merge"),
+    (4, "spark"),
+    (5, "a a a"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def _py_bm25(corpus, terms, k1c=BM25_K1_CENTI, bc=BM25_B_CENTI, scale=BM25_SCALE):
+    """Independent integer-BM25 reference (python // semantics == Spark
+    div for the positive operands used here)."""
+    lens = {i: len(t.split(" ")) for i, t in corpus}
+    n, total = len(lens), sum(lens.values())
+    avgdl_centi = (100 * total) // n
+    terms = sorted(set(terms))
+    tf = {}
+    for i, t in corpus:
+        for w in t.split(" "):
+            if w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df_t = {}
+    for (i, w) in tf:
+        df_t[w] = df_t.get(w, 0) + 1
+    scores = {}
+    for (i, w), f_ in tf.items():
+        idf_milli = ((2 * n - 2 * df_t[w] + 1) * 1000) // (2 * df_t[w] + 1)
+        sat = (f_ * (100 + k1c) * 100 * avgdl_centi * scale) // (
+            10000 * avgdl_centi * f_
+            + k1c * ((100 - bc) * avgdl_centi + 100 * bc * lens[i])
+        )
+        s, m = scores.get(i, (0, 0))
+        scores[i] = (s + (idf_milli * sat) // 1000, m + 1)
+    return scores
+
+
+def test_postings_grain(docs):
+    rows = postings(docs).collect()
+    # one row per token occurrence, positions 1..len
+    assert len(rows) == sum(len(t.split(" ")) for _, t in DOCS)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.pos, r.token))
+    for i, t in DOCS:
+        got = sorted(by_doc[i])
+        assert got == list(enumerate(t.split(" "), start=1))
+
+
+def test_corpus_stats_row_local(docs):
+    got = {r.doc_id: r.dl for r in corpus_stats(docs).collect()}
+    assert got == {i: len(t.split(" ")) for i, t in DOCS}
+
+
+def test_bm25_matches_python_reference(docs):
+    terms = ["spark", "merge", "join"]
+    expected = _py_bm25(DOCS, terms)
+    got = bm25_topk(docs, terms, k=10).collect()
+    assert {r.doc_id: (r.score_micro, r.n_terms_matched) for r in got} == expected
+    # rank follows (score DESC, doc_id ASC) exactly
+    order = sorted(expected.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        i for i, _ in order
+    ]
+
+
+def test_bm25_k_truncates_and_ties_deterministic(spark):
+    # four identical docs tie exactly; k=2 keeps the two smallest ids
+    df = spark.createDataFrame(
+        [(i, "x y") for i in (7, 3, 9, 5)], "doc_id bigint, text string"
+    )
+    got = bm25_topk(df, ["x"], k=2).orderBy("rank").collect()
+    assert [r.doc_id for r in got] == [3, 5]
+    assert len({r.score_micro for r in got}) == 1
+
+
+def test_bm25_absent_term_contributes_nothing(docs):
+    base = {r.doc_id: r.score_micro for r in bm25_topk(docs, ["spark"], k=10).collect()}
+    plus = {
+        r.doc_id: r.score_micro
+        for r in bm25_topk(docs, ["spark", "notaword"], k=10).collect()
+    }
+    assert base == plus
+
+
+def test_bm25_rejects_empty_query(docs):
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
+
+
+def test_phrase_search_exact_and_overlapping(docs):
+    got = {r.doc_id: (r.n_matches, r.first_pos) for r in phrase_search(docs, ["merge", "join"]).collect()}
+    # doc 1: "merge join" at pos 2; doc 3: at pos 1 and 3
+    assert got == {1: (1, 2), 3: (2, 1)}
+    # overlapping self-match: "a a a" has "a a" at anchors 1 and 2
+    overlap = {r.doc_id: (r.n_matches, r.first_pos) for r in phrase_search(docs, ["a", "a"]).collect()}
+    assert overlap == {5: (2, 1)}
+    # 3-token phrase
+    tri = {r.doc_id: (r.n_matches, r.first_pos) for r in phrase_search(docs, ["merge", "join", "merge"]).collect()}
+    assert tri == {3: (2, 1)}
+
+
+def test_phrase_search_no_match_is_empty(docs):
+    assert phrase_search(docs, ["lazy", "fox"]).count() == 0
+    with pytest.raises(ValueError):
+        phrase_search(docs, [])
+
+
+def test_bm25_plan_shape(docs):
+    """df/N broadcast, no corpus-sized length join, top-k via
+    TakeOrdered — the shapes that keep the query proportional to the
+    posting lists, not the corpus."""
+    plan = bm25_topk(docs, ["spark", "merge"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_phrase_search_filters_before_join(docs):
+    plan = (
+        phrase_search(docs, ["the", "spark"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # slot filters precede the join: the join inputs are filtered postings
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Filter") >= 2, plan
