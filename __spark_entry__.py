@@ -1937,8 +1937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_profile": q_text_quality_profile,
         # bm25_topk is the lexical-retrieval family rep (filtered posting
         # lists + broadcast df/N + integer BM25 + TakeOrdered top-k);
-        # fingerprints moved below the window — the document-fingerprint
-        # family stays repped in-window by simhash_near_dups
+        # fingerprints moved below the window — content-fingerprinting
+        # stays repped in-window by exact_dedup (md5 fingerprints) and
+        # near_dup_pairs (MinHash signatures)
         "bm25_topk": q_bm25_topk,
         "gopher_quality": q_gopher_quality,
         # dsir_importance is the data-selection family rep (hashed-ngram
@@ -2017,7 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extract_text_identity / extract_split_identity
         "page_metadata": q_page_metadata,
         # fingerprints: document-fingerprint variant (rolling-hash prefix
-        # fingerprint) — family repped in-window by simhash_near_dups
+        # fingerprint) — content-fingerprinting repped in-window by
+        # exact_dedup (md5 fingerprints) and near_dup_pairs (MinHash)
         "fingerprints": q_fingerprints,
         # phrase_search: lexical-retrieval variant (positional phrase
         # matching) — family repped in-window by bm25_topk

@@ -57,7 +57,7 @@ def corpus_minhash(
     rows for ANY corpus size, built by one map-combined global
     aggregation (no distinct, no shuffle wider than n_hashes columns).
     An EMPTY corpus yields n_hashes rows with NULL min_hash — slots that
-    never match a non-empty corpus's (null-safe) comparison."""
+    never match any other signature (plain SQL equality downstream)."""
     sh = corpus_shingles(df, text_col, shingle_k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle")))).alias(f"h{s}")
@@ -86,19 +86,22 @@ def merge_corpus_minhash(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
     )
 
 
-def estimate_corpus_overlap(
-    sig_a: DataFrame, sig_b: DataFrame, n_hashes: int = DEFAULT_N_HASHES
-) -> DataFrame:
+def estimate_corpus_overlap(sig_a: DataFrame, sig_b: DataFrame) -> DataFrame:
     """One-row overlap estimate from two corpus signatures:
-    (n_hashes, matching_slots, est_jaccard_milli). The join is k rows a
-    side — driver-free, broadcast-trivial."""
+    (n_hashes, matching_slots, est_jaccard_milli); n_hashes is COUNTED
+    from the slot join, never configured here. The join is k rows a
+    side — driver-free, broadcast-trivial. NULL slots (an EMPTY corpus)
+    never match — plain SQL equality, same rule as the oracle mirror —
+    so empty-vs-anything (including empty-vs-empty) estimates 0."""
     a = sig_a.select("slot", F.col("min_hash").alias("min_a"))
     b = sig_b.select("slot", F.col("min_hash").alias("min_b"))
     return (
         a.join(F.broadcast(b), "slot")
         .agg(
             F.count("*").cast("bigint").alias("n_hashes"),
-            F.sum(F.col("min_a").eqNullSafe(F.col("min_b")).cast("bigint"))
+            F.coalesce(
+                F.sum((F.col("min_a") == F.col("min_b")).cast("bigint")), F.lit(0)
+            )
             .cast("bigint")
             .alias("matching_slots"),
         )
@@ -124,7 +127,6 @@ def corpus_overlap_report(
     est = estimate_corpus_overlap(
         corpus_minhash(df_a, text_col, n_hashes, shingle_k),
         corpus_minhash(df_b, text_col, n_hashes, shingle_k),
-        n_hashes,
     )
     if not include_exact:
         return est
@@ -140,9 +142,15 @@ def corpus_overlap_report(
     )
     return (
         est.crossJoin(F.broadcast(counts))
+        # empty-vs-empty convention: a 0-shingle union defines Jaccard as
+        # 0 (consistent with the sketch estimate's never-match rule), not
+        # a NULL from div-by-zero; the oracle mirror carries the same CASE
         .withColumn(
             "exact_jaccard_milli",
-            F.expr("div(1000 * n_shared, n_shingles_a + n_shingles_b - n_shared)"),
+            F.when(
+                F.expr("n_shingles_a + n_shingles_b - n_shared > 0"),
+                F.expr("div(1000 * n_shared, n_shingles_a + n_shingles_b - n_shared)"),
+            ).otherwise(F.lit(0).cast("bigint")),
         )
         .withColumn(
             "err_milli", F.expr("abs(est_jaccard_milli - exact_jaccard_milli)")

@@ -23,10 +23,12 @@ read. The 100 TB shape is relational end to end:
   documented scoring-function choice, exact on both engines. The tf
   saturation is the classic ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
   with k1, b as centi-integers and ``avgdl_centi = div(100*L, N)``;
-  every division is a bigint ``div``. Integer-exactness bounds
-  (documented, not silently truncated): ``tf * avgdl_centi < ~4e8`` for
-  the saturation numerator and ``N < ~2e9`` for idf_milli * saturation —
-  shrink the milli/micro scales before a corpus outgrows them.
+  every division is a bigint ``div``. Integer-exactness bounds are
+  ENFORCED at runtime (per-row ``assert_true`` — Spark's non-ANSI int64
+  would wrap silently where DuckDB errors): ``tf * avgdl_centi < ~4e8``
+  for the saturation numerator and ``N < ~2e9`` for idf_milli *
+  saturation — shrink the milli/micro scales before a corpus outgrows
+  them.
 
   Plan shape: doc lengths are row-local; N/L is a 1-row aggregate
   (broadcast); per-term df over the FILTERED postings is ≤ n_query_terms
@@ -60,6 +62,21 @@ from .similarity import _ranked_topk
 BM25_SCALE = 1_000_000
 BM25_K1_CENTI = 120  # k1 = 1.2
 BM25_B_CENTI = 75  # b = 0.75
+
+_INT64_MAX = (1 << 63) - 1
+
+
+def _sat_numerator_bound(k1_centi: int, scale: int) -> int:
+    """Largest tf*avgdl_centi for which the saturation numerator
+    ``tf * (100+k1) * 100 * avgdl_centi * scale`` stays inside int64."""
+    return _INT64_MAX // ((100 + k1_centi) * 100 * scale)
+
+
+def _idf_corpus_bound(k1_centi: int, scale: int) -> int:
+    """Largest n_docs for which ``idf_milli * tf_sat_micro`` stays inside
+    int64: idf_milli <= (2N+1)*1000, tf_sat_micro <= (100+k1)*scale/100."""
+    max_sat = (100 + k1_centi) * scale // 100
+    return ((_INT64_MAX // 1000 // max_sat) - 1) // 2
 
 
 def postings(
@@ -142,7 +159,29 @@ def bm25_topk(
                 f"+ {k1_centi} * ({100 - b_centi} * avgdl_centi + {100 * b_centi} * dl))"
             ),
         )
-        .withColumn("term_score_micro", F.expr("div(idf_milli * tf_sat_micro, 1000)"))
+        # runtime overflow guard (the docstring bounds, ENFORCED): Spark's
+        # non-ANSI int64 wraps silently, so past-bound corpora would get
+        # quietly wrong rankings while the DuckDB mirror errors — fail
+        # loudly instead (assert_true yields NULL when the predicate
+        # holds, so the when() keeps the value). Bounds derived from the
+        # actual scales: tf*avgdl_centi caps the saturation numerator,
+        # n_docs caps idf_milli * max(tf_sat_micro).
+        .withColumn(
+            "term_score_micro",
+            F.when(
+                F.assert_true(
+                    F.expr(
+                        f"tf * avgdl_centi <= {_sat_numerator_bound(k1_centi, scale)}"
+                        f" AND n_docs <= {_idf_corpus_bound(k1_centi, scale)}"
+                    ),
+                    F.lit(
+                        "bm25_topk int64 bound exceeded (tf*avgdl or corpus "
+                        "size) — lower the milli/micro scales"
+                    ),
+                ).isNull(),
+                F.expr("div(idf_milli * tf_sat_micro, 1000)"),
+            ),
+        )
     )
     scored = scored_terms.groupBy(id_col).agg(
         F.sum("term_score_micro").cast("bigint").alias("score_micro"),

@@ -2173,10 +2173,14 @@ def corpus_overlap_sql(
         "SELECT n_hashes, matching_slots, "
         "cast((1000 * matching_slots) // n_hashes AS bigint) AS est_jaccard_milli, "
         "n_shingles_a, n_shingles_b, n_shared, "
-        "cast((1000 * n_shared) // (n_shingles_a + n_shingles_b - n_shared) AS bigint)"
+        "cast(CASE WHEN n_shingles_a + n_shingles_b - n_shared > 0"
+        " THEN (1000 * n_shared) // (n_shingles_a + n_shingles_b - n_shared)"
+        " ELSE 0 END AS bigint)"
         " AS exact_jaccard_milli, "
         "cast(abs((1000 * matching_slots) // n_hashes"
-        " - (1000 * n_shared) // (n_shingles_a + n_shingles_b - n_shared)) AS bigint)"
+        " - CASE WHEN n_shingles_a + n_shingles_b - n_shared > 0"
+        " THEN (1000 * n_shared) // (n_shingles_a + n_shingles_b - n_shared)"
+        " ELSE 0 END) AS bigint)"
         " AS err_milli "
         "FROM est CROSS JOIN cnt"
     )

@@ -117,6 +117,18 @@ def test_empty_corpus_sketch(spark, dfs):
     assert merged == _py_minhash(A)
 
 
+def test_empty_vs_empty_is_zero_not_null(spark):
+    """NULL slots never match (plain equality — the oracle's rule), and
+    the 0-shingle union defines exact Jaccard as 0: every column of the
+    empty-vs-empty report is a concrete integer, never NULL."""
+    empty = spark.createDataFrame([], "text string")
+    row = corpus_overlap_report(empty, empty).collect()[0]
+    assert row.n_hashes == 12 and row.matching_slots == 0
+    assert row.est_jaccard_milli == 0
+    assert row.n_shingles_a == 0 and row.n_shingles_b == 0 and row.n_shared == 0
+    assert row.exact_jaccard_milli == 0 and row.err_milli == 0
+
+
 def test_sketch_half_is_bounded_plan(dfs):
     """The estimate-only path (production mode) never shuffles more than
     the k-row signatures: one partial/final agg pair per corpus, a

@@ -110,6 +110,35 @@ def test_bm25_rejects_empty_query(docs):
         bm25_topk(docs, [])
 
 
+def test_bm25_overflow_guard_fires(spark):
+    """The int64 bounds are ENFORCED, not just documented (CLAUDE.md
+    scale-guard rule): a corpus past tf*avgdl_centi ~4e8 must abort
+    loudly (Spark would otherwise wrap silently where DuckDB errors).
+    One 3000-token doc of a single repeated word: tf=3000,
+    avgdl_centi=300000 → 9e8 > bound → assert_true fails the job."""
+    df = spark.createDataFrame([(1, " ".join(["w"] * 3000))], "doc_id bigint, text string")
+    with pytest.raises(Exception, match="bm25_topk int64 bound"):
+        bm25_topk(df, ["w"], k=1).collect()
+
+
+def test_bm25_guard_bounds_are_sharp():
+    """The guard thresholds admit every product that fits int64 and
+    reject the first that doesn't."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        _idf_corpus_bound,
+        _sat_numerator_bound,
+    )
+
+    i64 = (1 << 63) - 1
+    sb = _sat_numerator_bound(BM25_K1_CENTI, BM25_SCALE)
+    assert sb * (100 + BM25_K1_CENTI) * 100 * BM25_SCALE <= i64
+    assert (sb + 1) * (100 + BM25_K1_CENTI) * 100 * BM25_SCALE > i64
+    nb = _idf_corpus_bound(BM25_K1_CENTI, BM25_SCALE)
+    max_sat = (100 + BM25_K1_CENTI) * BM25_SCALE // 100
+    assert (2 * nb + 1) * 1000 * max_sat <= i64
+    assert (2 * (nb + 1) + 1) * 1000 * max_sat > i64
+
+
 def test_phrase_search_exact_and_overlapping(docs):
     got = {r.doc_id: (r.n_matches, r.first_pos) for r in phrase_search(docs, ["merge", "join"]).collect()}
     # doc 1: "merge join" at pos 2; doc 3: at pos 1 and 3
