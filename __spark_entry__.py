@@ -1809,6 +1809,26 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "merge", "join"], k=15)
 
 
+def q_lexical_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over a PERSISTED lexical lake index: tf postings written
+    hive-partitioned by seeded token-hash shard + a 1-row _meta table;
+    the search scans ONLY the query terms' shard directories
+    (PartitionFilters, plan-asserted in tests) with the token filter
+    pushed into those scans, then the exact same integer scoring as
+    bm25_topk — so the oracle is the plain corpus-side BM25 SQL."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        build_lexical_index,
+        search_lexical_index,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    index_path = _lazy_scratch_dir("lexindex_") + "/postings"
+    build_lexical_index(docs, index_path)
+    return search_lexical_index(
+        spark, index_path, ["table", "window", "vector", "group"], k=20
+    )
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus overlap (dataset versioning): each corpus
     collapses to a 12-row MinHash signature in one map-combined pass
@@ -2027,6 +2047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_near_dups: near-dup variant (SimHash pigeonhole bands)
         # — family repped in-window by near_dup_pairs / semantic_dedup
         "simhash_near_dups": q_simhash_near_dups,
+        # lexical_index_search: retrieval variant (persisted shard-
+        # partitioned index, pruned-scan search) — family repped
+        # in-window by bm25_topk
+        "lexical_index_search": q_lexical_index_search,
     }
 
 
@@ -2281,6 +2305,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _oracles.bm25_topk_sql(),
         "phrase_search": _oracles.phrase_search_sql(),
         "corpus_overlap": _oracles.corpus_overlap_sql(),
+        # the persisted-index search returns exactly what the in-memory
+        # BM25 returns on the same corpus — same oracle builder
+        "lexical_index_search": _oracles.bm25_topk_sql(
+            ("table", "window", "vector", "group"), k=20
+        ),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -126,22 +126,41 @@ def bm25_topk(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
-    # dl rides through the explode (functionally dependent on id, so it
-    # folds into the tf grouping key) — matched docs' lengths arrive with
-    # their postings instead of via a corpus-sized (id, dl) join
-    toks = F.split(F.col(text_col), " ")
-    qpost = (
-        df.select(
-            F.col(id_col),
-            F.size(toks).cast("bigint").alias("dl"),
-            F.explode(toks).alias("token"),
-        )
-    ).filter(F.col("token").isin(terms))
+    qpost = _postings_with_dl(df, id_col, text_col).filter(F.col("token").isin(terms))
     tf = qpost.groupBy(id_col, "dl", "token").agg(
         F.count("*").cast("bigint").alias("tf")
     )
+    return _bm25_rank_tf(tf, totals, k, id_col, k1_centi, b_centi, scale)
+
+
+def _postings_with_dl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, dl, token) occurrence rows — dl rides through the explode
+    (functionally dependent on id, so it folds into downstream grouping
+    keys): matched docs' lengths arrive with their postings instead of
+    via a corpus-sized (id, dl) join."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("bigint").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+
+
+def _bm25_rank_tf(
+    tf: DataFrame,
+    totals: DataFrame,
+    k: int,
+    id_col: str,
+    k1_centi: int = BM25_K1_CENTI,
+    b_centi: int = BM25_B_CENTI,
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """Score + rank from the (id, dl, token, tf) grain and a 1-row
+    (n_docs, total_len) totals table — shared by the in-memory query
+    path and the persisted-index search path (identical arithmetic, so
+    both agree bit-for-bit with the same oracle)."""
     # (id, token) is distinct after the rollup, so df_t is a plain count;
-    # ≤ len(terms) rows — broadcast back onto the posting lists
+    # ≤ n_query_terms rows — broadcast back onto the posting lists
     dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df_t"))
     scored_terms = (
         tf.join(F.broadcast(dft), "token")
@@ -221,3 +240,88 @@ def phrase_search(
         F.count("*").cast("bigint").alias("n_matches"),
         F.min("anchor").cast("int").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted lexical lake index (the IVF-index discipline, for terms)
+# ---------------------------------------------------------------------------
+
+LEX_SEED = 29
+LEX_N_SHARDS = 16
+
+
+def _token_shard_py(token: str, n_shards: int = LEX_N_SHARDS, seed: int = LEX_SEED) -> int:
+    """Driver-side replica of ``selection.hashed_ngram_bucket`` (first 8
+    md5 hex digits of 'seed:token' mod n_shards) — search computes the
+    query terms' shards HERE, so the scan carries a literal partition
+    filter the FileIndex prunes on."""
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{token}".encode()).hexdigest()[:8], 16) % n_shards
+
+
+def build_lexical_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = LEX_N_SHARDS,
+    seed: int = LEX_SEED,
+) -> None:
+    """INGEST side of a lexical lake index: persist the corpus's tf
+    postings (id, dl, token, tf) hive-partitioned by a seeded token-hash
+    shard, plus a 1-row ``_meta`` table (n_docs, total_len; the
+    underscore prefix hides it from the partition discovery of the
+    postings scan). A search for q terms then reads at most q shard
+    directories — ~q/n_shards of the index bytes — and its token
+    equality filter pushes into those shards' parquet scans. Size
+    ``n_shards`` so one shard ≈ one executor-comfortable scan unit; the
+    hash is uniform, so shards are balanced regardless of token Zipf
+    (a hot token concentrates in ONE shard file set but never skews the
+    search shuffle — tf grain is (id, token), already collapsed)."""
+    from .selection import hashed_ngram_bucket
+
+    post = _postings_with_dl(df, id_col, text_col)
+    tf = post.groupBy(id_col, "dl", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    tf.withColumn("shard", hashed_ngram_bucket(F.col("token"), n_shards, seed)).write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(index_path)
+    totals = df.select(F.size(F.split(F.col(text_col), " ")).alias("_dl")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_dl").cast("bigint").alias("total_len"),
+    )
+    totals.coalesce(1).write.mode("overwrite").parquet(index_path + "/_meta")
+
+
+def search_lexical_index(
+    spark,
+    index_path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_shards: int = LEX_N_SHARDS,
+    seed: int = LEX_SEED,
+    k1_centi: int = BM25_K1_CENTI,
+    b_centi: int = BM25_B_CENTI,
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """SEARCH side over a ``build_lexical_index`` table: partition-pruned
+    scan of the query terms' shards (PartitionFilters — plan-asserted in
+    tests) + pushed token filter, df per term from the pruned posting
+    lists, then the same integer BM25 scoring as ``bm25_topk`` —
+    identical results to the in-memory path on the same corpus (shared
+    ``_bm25_rank_tf`` arithmetic)."""
+    terms: List[str] = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("search_lexical_index requires at least one query term")
+    shards = sorted({_token_shard_py(t, n_shards, seed) for t in terms})
+    tf = (
+        spark.read.parquet(index_path)
+        .filter(F.col("shard").isin(shards))
+        .filter(F.col("token").isin(terms))
+        .select(id_col, "dl", "token", "tf")
+    )
+    totals = spark.read.parquet(index_path + "/_meta")
+    return _bm25_rank_tf(tf, totals, k, id_col, k1_centi, b_centi, scale)

@@ -167,6 +167,65 @@ def test_bm25_plan_shape(docs):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_lexical_index_matches_in_memory_bm25(docs, tmp_path):
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        build_lexical_index,
+        search_lexical_index,
+    )
+
+    path = str(tmp_path / "lexindex")
+    build_lexical_index(docs, path)
+    terms = ["spark", "merge", "join"]
+    mem = {(r.doc_id, r.score_micro, r.n_terms_matched, r.rank) for r in bm25_topk(docs, terms, k=10).collect()}
+    idx = {
+        (r.doc_id, r.score_micro, r.n_terms_matched, r.rank)
+        for r in search_lexical_index(docs.sparkSession, path, terms, k=10).collect()
+    }
+    assert idx == mem and len(idx) > 0
+
+
+def test_token_shard_py_matches_spark(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        LEX_N_SHARDS,
+        LEX_SEED,
+        _token_shard_py,
+    )
+    from dss_plugin_google_cloud_vision_spark.operators.selection import (
+        hashed_ngram_bucket,
+    )
+    from pyspark.sql import functions as SF
+
+    words = ["spark", "merge", "the", "a", "ünïcode", "x" * 50]
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {
+        r.token: r.shard
+        for r in df.select(
+            "token", hashed_ngram_bucket(SF.col("token"), LEX_N_SHARDS, LEX_SEED).alias("shard")
+        ).collect()
+    }
+    assert got == {w: _token_shard_py(w) for w in words}
+
+
+def test_lexical_index_search_prunes_partitions(docs, tmp_path):
+    """The search must read ONLY the query terms' shard directories
+    (PartitionFilters on shard) and push the token equality into the
+    pruned scans — the property that makes the index an index."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        _token_shard_py,
+        build_lexical_index,
+        search_lexical_index,
+    )
+
+    path = str(tmp_path / "lexindex2")
+    build_lexical_index(docs, path)
+    out = search_lexical_index(docs.sparkSession, path, ["spark"], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    shard = _token_shard_py("spark")
+    assert f"shard#" in plan and "PartitionFilters" in plan, plan
+    assert f"({shard})" in plan.split("PartitionFilters")[1][:200] or f"{shard}" in plan.split("PartitionFilters")[1][:200], plan
+    assert "PushedFilters" in plan and "token" in plan.split("PushedFilters")[1][:200], plan
+
+
 def test_phrase_search_filters_before_join(docs):
     plan = (
         phrase_search(docs, ["the", "spark"])
