@@ -1809,6 +1809,46 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "merge", "join"], k=15)
 
 
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style normalization-keyed dedup over a corpus with PLANTED
+    variants (uppercase mirrors, punctuation tails, digit rewrites that
+    fold to the same '0'-form): groups raw exact dedup cannot see,
+    flagged by n_distinct_raw > 1. One codegen normalization projection
+    + the md5-key groupBy dedup shape (uniform shuffle key)."""
+    from dss_plugin_google_cloud_vision_spark.operators.normalize import (
+        normalized_dedup_groups,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 300000).alias("doc_id"),
+                F.upper(F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 15 == 0).select(
+                (F.col("doc_id") + 400000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" !!!")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" 42")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 600000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" 99")).alias("text"),
+            )
+        )
+    )
+    return normalized_dedup_groups(corpus)
+
+
 def q_lexical_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 over a PERSISTED lexical lake index: tf postings written
     hive-partitioned by seeded token-hash shard + a 1-row _meta table;
@@ -2051,6 +2091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # partitioned index, pruned-scan search) — family repped
         # in-window by bm25_topk
         "lexical_index_search": q_lexical_index_search,
+        # normalized_dedup: normalization variant (CCNet text folding
+        # before the exact-dedup shape) — normalization repped in-window
+        # by url_canonicalize, dedup by exact_dedup
+        "normalized_dedup": q_normalized_dedup,
     }
 
 
@@ -2310,6 +2354,7 @@ def oracle_sql() -> dict[str, str]:
         "lexical_index_search": _oracles.bm25_topk_sql(
             ("table", "window", "vector", "group"), k=20
         ),
+        "normalized_dedup": _oracles.normalized_dedup_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -2184,3 +2184,34 @@ def corpus_overlap_sql(
         " AS err_milli "
         "FROM est CROSS JOIN cnt"
     )
+
+
+NORMALIZE_EXPR = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text),"
+    " '[0-9]', '0', 'g'), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def normalized_dedup_sql(source: str = "documents") -> str:
+    """Mirror of operators.normalize.normalized_dedup_groups over the
+    planted-variant corpus (uppercase mirrors %10, punct tails %15,
+    digit rewrites %20 — the 42/99 pair folds to the same '0'-form):
+    the same lower → digit-fold → ASCII-strip → space-collapse chain
+    (explicit character classes only — Java regex == RE2 on these),
+    grouped on md5 of the normalized form."""
+    return (
+        "WITH corpus AS ("
+        f" SELECT doc_id, text FROM {source}"
+        " UNION ALL SELECT doc_id + 300000 AS doc_id, upper(text) AS text"
+        f"  FROM {source} WHERE doc_id % 10 = 0"
+        " UNION ALL SELECT doc_id + 400000 AS doc_id, text || ' !!!' AS text"
+        f"  FROM {source} WHERE doc_id % 15 = 0"
+        " UNION ALL SELECT doc_id + 500000 AS doc_id, text || ' 42' AS text"
+        f"  FROM {source} WHERE doc_id % 20 = 0"
+        " UNION ALL SELECT doc_id + 600000 AS doc_id, text || ' 99' AS text"
+        f"  FROM {source} WHERE doc_id % 20 = 0), "
+        f"n AS (SELECT doc_id, text, {NORMALIZE_EXPR} AS norm FROM corpus) "
+        "SELECT min(doc_id) AS doc_id, cast(count(*) AS bigint) AS n_copies, "
+        "cast(count(DISTINCT text) AS bigint) AS n_distinct_raw "
+        "FROM n GROUP BY md5(norm) HAVING count(*) > 1"
+    )

@@ -1,0 +1,75 @@
+# -*- coding: utf-8 -*-
+"""CCNet-style normalization: rule-by-rule hand cases, dedup-group
+semantics (n_distinct_raw), keep-first election, and the no-UDF plan."""
+
+from pyspark.sql import functions as F
+
+from dss_plugin_google_cloud_vision_spark.operators.normalize import (
+    normalized_dedup_groups,
+    normalized_dedup_keep_first,
+    normalized_text_column,
+)
+
+CASES = [
+    ("Hello, World 42!", "hello world 00"),
+    ("  a   b  ", "a b"),
+    ("CAFÉ café", "caf caf"),  # non-ASCII stripped, case folded
+    ("1,234.56", "000000"),  # digits fold first; punctuation then strips
+    ("", ""),
+    ("!!!", ""),
+]
+
+
+def test_normalization_hand_cases(spark):
+    df = spark.createDataFrame([(t,) for t, _ in CASES], "text string")
+    got = [r.n for r in df.select(normalized_text_column("text").alias("n")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_dedup_groups_and_distinct_raw(spark):
+    rows = [
+        (1, "The Spark Engine!"),
+        (2, "the spark engine"),   # case+punct variant of 1
+        (3, "the spark engine"),   # raw copy of 2
+        (4, "order 66 today"),
+        (5, "order 99 today"),     # digit-fold variant of 4
+        (6, "unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_copies, r.n_distinct_raw) for r in normalized_dedup_groups(df).collect()}
+    # group {1,2,3}: 3 copies, 2 distinct raws; group {4,5}: 2 copies, 2 raws
+    assert got == {1: (3, 2), 4: (2, 2)}
+
+
+def test_keep_first_preserves_raw_text(spark):
+    rows = [
+        (7, "Hello World"),
+        (2, "hello world!"),
+        (9, "other doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {r.doc_id: r.text for r in normalized_dedup_keep_first(df).collect()}
+    # min-id winner of the variant group, raw (unnormalized) text intact
+    assert kept == {2: "hello world!", 9: "other doc"}
+
+
+def test_normalization_stays_in_codegen(spark):
+    df = spark.createDataFrame([("x",)], "text string")
+    plan = (
+        df.select(normalized_text_column("text").alias("n"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    groups_plan = (
+        normalized_dedup_groups(
+            spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two hash-key shuffles max: count(distinct raw) pre-aggregates on
+    # (_nfp, text) before the (_nfp) rollup — both keys hash-uniform
+    assert groups_plan.count("Exchange hashpartitioning") <= 2, groups_plan
