@@ -121,16 +121,22 @@ def bm25_topk(
     terms: List[str] = sorted(set(query_terms))
     if not terms:
         raise ValueError("bm25_topk requires at least one query term")
-    lengths = corpus_stats(df, id_col, text_col)
-    totals = lengths.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_len"),
-    )
+    totals = _corpus_totals(df, id_col, text_col)
     qpost = _postings_with_dl(df, id_col, text_col).filter(F.col("token").isin(terms))
     tf = qpost.groupBy(id_col, "dl", "token").agg(
         F.count("*").cast("bigint").alias("tf")
     )
     return _bm25_rank_tf(tf, totals, k, id_col, k1_centi, b_centi, scale)
+
+
+def _corpus_totals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """1-row (n_docs, total_len) through the single ``corpus_stats`` dl
+    definition — shared by the in-memory path and the index build so the
+    persisted _meta totals can never drift from the live aggregate."""
+    return corpus_stats(df, id_col, text_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
 
 
 def _postings_with_dl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -278,7 +284,14 @@ def build_lexical_index(
     ``n_shards`` so one shard ≈ one executor-comfortable scan unit; the
     hash is uniform, so shards are balanced regardless of token Zipf
     (a hot token concentrates in ONE shard file set but never skews the
-    search shuffle — tf grain is (id, token), already collapsed)."""
+    search shuffle — tf grain is (id, token), already collapsed).
+
+    ``_meta`` lives BESIDE the table directory (``<path>_meta``), not
+    inside it: an underscore-prefixed child survives only because
+    explicitly-passed root paths escape Spark's hidden-path filter — an
+    implementation detail that has shifted across readers. It records
+    (n_shards, seed) alongside the totals so searches can refuse a
+    mismatched layout instead of silently pruning wrong shards."""
     from .selection import hashed_ngram_bucket
 
     post = _postings_with_dl(df, id_col, text_col)
@@ -288,11 +301,17 @@ def build_lexical_index(
     tf.withColumn("shard", hashed_ngram_bucket(F.col("token"), n_shards, seed)).write.mode(
         "overwrite"
     ).partitionBy("shard").parquet(index_path)
-    totals = df.select(F.size(F.split(F.col(text_col), " ")).alias("_dl")).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("_dl").cast("bigint").alias("total_len"),
+    meta = _corpus_totals(df, id_col, text_col).select(
+        "n_docs",
+        "total_len",
+        F.lit(n_shards).cast("int").alias("n_shards"),
+        F.lit(seed).cast("int").alias("seed"),
     )
-    totals.coalesce(1).write.mode("overwrite").parquet(index_path + "/_meta")
+    meta.coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+
+
+def _meta_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "_meta"
 
 
 def search_lexical_index(
@@ -312,10 +331,24 @@ def search_lexical_index(
     tests) + pushed token filter, df per term from the pruned posting
     lists, then the same integer BM25 scoring as ``bm25_topk`` —
     identical results to the in-memory path on the same corpus (shared
-    ``_bm25_rank_tf`` arithmetic)."""
+    ``_bm25_rank_tf`` arithmetic).
+
+    The stored (n_shards, seed) are validated against the caller's —
+    pruning under a mismatched hash layout would silently read the WRONG
+    shard directories and drop matching documents, so it raises instead
+    (the module's fail-loud discipline; the check is one 1-row read)."""
     terms: List[str] = sorted(set(query_terms))
     if not terms:
         raise ValueError("search_lexical_index requires at least one query term")
+    meta = spark.read.parquet(_meta_path(index_path))
+    stored = meta.select("n_shards", "seed").first()
+    if (stored.n_shards, stored.seed) != (n_shards, seed):
+        raise ValueError(
+            f"lexical index at {index_path} was built with n_shards="
+            f"{stored.n_shards}, seed={stored.seed}; search called with "
+            f"n_shards={n_shards}, seed={seed} — pruning would read the "
+            "wrong shards"
+        )
     shards = sorted({_token_shard_py(t, n_shards, seed) for t in terms})
     tf = (
         spark.read.parquet(index_path)
@@ -323,5 +356,5 @@ def search_lexical_index(
         .filter(F.col("token").isin(terms))
         .select(id_col, "dl", "token", "tf")
     )
-    totals = spark.read.parquet(index_path + "/_meta")
+    totals = meta.select("n_docs", "total_len")
     return _bm25_rank_tf(tf, totals, k, id_col, k1_centi, b_centi, scale)

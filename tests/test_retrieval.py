@@ -208,8 +208,12 @@ def test_token_shard_py_matches_spark(spark):
 
 def test_lexical_index_search_prunes_partitions(docs, tmp_path):
     """The search must read ONLY the query terms' shard directories
-    (PartitionFilters on shard) and push the token equality into the
-    pruned scans — the property that makes the index an index."""
+    (a NON-EMPTY PartitionFilters naming shard and its value) and push
+    the token equality into the pruned scans (a NON-EMPTY PushedFilters
+    naming token) — extracted bracket contents, not substring presence,
+    so 'PartitionFilters: []' can never satisfy this."""
+    import re
+
     from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
         _token_shard_py,
         build_lexical_index,
@@ -221,9 +225,30 @@ def test_lexical_index_search_prunes_partitions(docs, tmp_path):
     out = search_lexical_index(docs.sparkSession, path, ["spark"], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     shard = _token_shard_py("spark")
-    assert f"shard#" in plan and "PartitionFilters" in plan, plan
-    assert f"({shard})" in plan.split("PartitionFilters")[1][:200] or f"{shard}" in plan.split("PartitionFilters")[1][:200], plan
-    assert "PushedFilters" in plan and "token" in plan.split("PushedFilters")[1][:200], plan
+    part = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert part is not None, plan
+    inner = part.group(1)
+    assert "shard" in inner and str(shard) in inner and inner.strip() != "", plan
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is not None, plan
+    assert "token" in pushed.group(1) and pushed.group(1).strip() != "", plan
+
+
+def test_lexical_index_layout_mismatch_raises(docs, tmp_path):
+    """A search with a different n_shards/seed than the index was built
+    with must refuse loudly — silent wrong-shard pruning drops matching
+    documents."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        build_lexical_index,
+        search_lexical_index,
+    )
+
+    path = str(tmp_path / "lexindex3")
+    build_lexical_index(docs, path)
+    with pytest.raises(ValueError, match="built with n_shards"):
+        search_lexical_index(docs.sparkSession, path, ["spark"], n_shards=32)
+    with pytest.raises(ValueError, match="built with n_shards"):
+        search_lexical_index(docs.sparkSession, path, ["spark"], seed=7)
 
 
 def test_phrase_search_filters_before_join(docs):
