@@ -142,3 +142,48 @@ def read_countmin(spark: SparkSession, grid_dir: str) -> DataFrame:
         per_batch.groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
+
+
+def stream_corpus_minhash_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    signature_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    text_col: str = "text",
+    n_hashes: int = None,
+    shingle_k: int = None,
+) -> StreamingQuery:
+    """Streaming corpus-MinHash ledger (``operators.corpus_diff`` kept
+    current per arrival wave): append each wave's (slot, min_hash)
+    signature, then stop. Same exactly-once class as HLL — the read-side
+    MIN-merge is idempotent, so replayed waves re-append identical rows
+    and change nothing; an empty wave appends NULL slots, which ``min``
+    ignores. Keeping a LIVE corpus signature makes 'how much of today's
+    crawl is already in the lake?' a 12-row comparison instead of a
+    corpus scan."""
+    from ..operators.corpus_diff import corpus_minhash
+    from ..operators.dedup import DEFAULT_N_HASHES, DEFAULT_SHINGLE_K
+
+    nh = DEFAULT_N_HASHES if n_hashes is None else n_hashes
+    sk = DEFAULT_SHINGLE_K if shingle_k is None else shingle_k
+
+    def process_wave(batch_df: DataFrame, batch_id: int) -> None:
+        sig = corpus_minhash(batch_df, text_col, nh, sk)
+        sig.write.mode("append").parquet(signature_dir)
+
+    return available_now_foreach_batch(
+        spark, input_dir, checkpoint_dir, schema_ddl, process_wave
+    )
+
+
+def read_corpus_minhash(spark: SparkSession, signature_dir: str) -> DataFrame:
+    """The merged corpus signature: slot-wise min over every appended
+    wave — identical to ``corpus_diff.corpus_minhash`` over everything
+    ever delivered (tested). Feed to
+    ``corpus_diff.estimate_corpus_overlap`` against another signature."""
+    return (
+        spark.read.parquet(signature_dir)
+        .groupBy("slot")
+        .agg(F.min("min_hash").alias("min_hash"))
+    )

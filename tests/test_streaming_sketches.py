@@ -159,3 +159,45 @@ def test_streaming_countmin_new_run_id_sums_not_collapses(spark, tmp_path):
     ).awaitTermination(300)
     twice = _grid_dict(read_countmin(spark, grid_dir))
     assert twice == {cell: 2 * cnt for cell, cnt in once.items()}
+
+
+def test_streaming_corpus_minhash_converges_and_absorbs_replay(spark, tmp_path):
+    from dss_plugin_google_cloud_vision_spark.operators.corpus_diff import (
+        corpus_minhash,
+        estimate_corpus_overlap,
+    )
+    from dss_plugin_google_cloud_vision_spark.streaming.sketches import (
+        read_corpus_minhash,
+        stream_corpus_minhash_available_now,
+    )
+
+    input_dir, sig_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "sig"),
+        str(tmp_path / "ckpt"),
+    )
+    _write_wave(spark, input_dir, _rows(0, 120))
+    stream_corpus_minhash_available_now(
+        spark, input_dir, sig_dir, ckpt, DDL, "text"
+    ).awaitTermination(300)
+    _write_wave(spark, input_dir, _rows(100, 250))  # overlap: re-delivered texts
+    stream_corpus_minhash_available_now(
+        spark, input_dir, sig_dir, ckpt, DDL, "text"
+    ).awaitTermination(300)
+
+    everything = spark.createDataFrame(_rows(0, 250), DDL)
+    batch_sig = {r.slot: r.min_hash for r in corpus_minhash(everything).collect()}
+    ledger_sig = {r.slot: r.min_hash for r in read_corpus_minhash(spark, sig_dir).collect()}
+    assert ledger_sig == batch_sig
+
+    # a torn/replayed wave appends duplicate rows; the min-merge absorbs
+    # them (simulate by re-appending wave 1's signature verbatim)
+    corpus_minhash(spark.createDataFrame(_rows(0, 120), DDL)).write.mode("append").parquet(sig_dir)
+    again = {r.slot: r.min_hash for r in read_corpus_minhash(spark, sig_dir).collect()}
+    assert again == batch_sig
+
+    # and the live ledger signature plugs straight into the overlap estimate
+    est = estimate_corpus_overlap(
+        read_corpus_minhash(spark, sig_dir), corpus_minhash(everything)
+    ).collect()[0]
+    assert est.matching_slots == est.n_hashes
