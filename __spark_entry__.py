@@ -1869,6 +1869,18 @@ def q_lexical_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection per document: window-min
+    over token k-gram hashes with rightmost tie-break, fully row-local
+    (zero shuffle) — output is the per-doc selection count + an exact
+    md5 witness of the sorted selection set."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        winnow_fingerprint_table,
+    )
+
+    return winnow_fingerprint_table(_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus overlap (dataset versioning): each corpus
     collapses to a 12-row MinHash signature in one map-combined pass
@@ -2095,6 +2107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # before the exact-dedup shape) — normalization repped in-window
         # by url_canonicalize, dedup by exact_dedup
         "normalized_dedup": q_normalized_dedup,
+        # winnow_fingerprints: fingerprint variant (MOSS window-min local
+        # fingerprints) — content-fingerprinting repped in-window by
+        # exact_dedup + near_dup_pairs
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2355,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
             ("table", "window", "vector", "group"), k=20
         ),
         "normalized_dedup": _oracles.normalized_dedup_sql(),
+        "winnow_fingerprints": _oracles.winnow_fingerprints_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -2215,3 +2215,33 @@ def normalized_dedup_sql(source: str = "documents") -> str:
         "cast(count(DISTINCT text) AS bigint) AS n_distinct_raw "
         "FROM n GROUP BY md5(norm) HAVING count(*) > 1"
     )
+
+
+def winnow_fingerprints_sql(
+    k: int = 3, w: int = 4, source: str = "documents"
+) -> str:
+    """Mirror of operators.textstats.winnow_fingerprint_table: token
+    k-gram md5s (shingles_column's <k whole-text fallback included),
+    candidates encoded ``md5 || '|' || lpad(10^7 - pos, 8, '0')``,
+    per-window list min (DuckDB slice is inclusive: enc[i:i+w-1] is w
+    elements, clamped at the end exactly like Spark's slice), distinct +
+    sort + joined-md5 digest."""
+    parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
+    return (
+        "WITH t AS ("
+        f" SELECT doc_id, text, string_split(text, ' ') AS tokens FROM {source}), "
+        "kg AS ("
+        f" SELECT doc_id, CASE WHEN len(tokens) >= {k}"
+        f"  THEN list_transform(generate_series(1, len(tokens)-{k - 1}), i -> {parts})"
+        "  ELSE [text] END AS kgs FROM t), "
+        "enc AS ("
+        " SELECT doc_id, list_transform(generate_series(1, len(kgs)),"
+        "  i -> md5(kgs[i]) || '|' || lpad(cast(10000000 - i AS varchar), 8, '0'))"
+        "  AS encs FROM kg), "
+        "sel AS ("
+        " SELECT doc_id, list_sort(list_distinct(list_transform("
+        f"  generate_series(1, greatest(len(encs) - {w - 1}, 1)),"
+        f"  i -> list_aggregate(encs[i:i+{w - 1}], 'min')))) AS sels FROM enc) "
+        "SELECT doc_id, cast(len(sels) AS int) AS n_winnowed, "
+        "md5(array_to_string(sels, ',')) AS winnow_digest FROM sel"
+    )
