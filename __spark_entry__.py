@@ -1881,6 +1881,19 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint_table(_table(spark, sf_dir, "documents"))
 
 
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step over the dedup corpus: pairs sharing >= 2 winnow
+    fingerprints (position-independent hash part — LOCAL overlap
+    evidence, catches a shared run in otherwise-different docs where
+    MinHash needs global Jaccard). Blocking k=5 keeps fp buckets tight;
+    the cap guard stays available for boilerplate-heavy corpora."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        winnow_near_dup_pairs,
+    )
+
+    return winnow_near_dup_pairs(build_dedup_corpus(spark, sf_dir))
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus overlap (dataset versioning): each corpus
     collapses to a 12-row MinHash signature in one map-combined pass
@@ -2111,6 +2124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fingerprints) — content-fingerprinting repped in-window by
         # exact_dedup + near_dup_pairs
         "winnow_fingerprints": q_winnow_fingerprints,
+        # winnow_near_dups: near-dup variant (MOSS shared-fingerprint
+        # pairs) — family repped in-window by near_dup_pairs
+        "winnow_near_dups": q_winnow_near_dups,
     }
 
 
@@ -2372,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "normalized_dedup": _oracles.normalized_dedup_sql(),
         "winnow_fingerprints": _oracles.winnow_fingerprints_sql(),
+        "winnow_near_dups": _oracles.winnow_near_dups_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

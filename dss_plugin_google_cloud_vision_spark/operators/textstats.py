@@ -223,6 +223,67 @@ def winnow_fingerprint_table(
     )
 
 
+WINNOW_PAIR_K = 5  # blocking k: rarer k-grams → tight fingerprint buckets
+
+
+def winnow_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_PAIR_K,
+    w: int = WINNOW_W,
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SHARED winnowing fingerprints — the MOSS match
+    step: block on the position-independent hash part of each selection
+    (two documents sharing any ≥ w+k-1-token run collide by the
+    winnowing guarantee), count shared fingerprints per pair, keep pairs
+    with ≥ ``min_shared``. Complements MinHash-LSH: winnowing evidence
+    is LOCAL (a shared paragraph in otherwise-different documents still
+    pairs), where MinHash needs global Jaccard.
+
+    ``k`` defaults HIGHER than the per-doc selection grain: the blocking
+    key's bucket size is the number of documents containing a selected
+    k-gram, so rarer (longer) k-grams keep the self-join tight; the
+    guarantee window grows to w+k-1 tokens accordingly. The
+    ``max_bucket_size`` cap is the standard hot-bucket guard
+    (``dedup.DEFAULT_MAX_BAND_BUCKET`` semantics — dropped buckets are
+    boilerplate-grade fingerprints); per the CLAUDE.md scale-guard rule
+    its oracle mirrors the same count rule. Default None (no cap): the
+    k=5 blocking key keeps buckets tight on real corpora; pass
+    ``dedup.DEFAULT_MAX_BAND_BUCKET`` on templated/boilerplate-heavy
+    ones and report ``dedup.oversized_band_buckets`` alongside.
+
+    Output: (doc_a, doc_b, n_shared_fps), doc_a < doc_b."""
+    from .dedup import _drop_oversized_buckets
+
+    bound = df.select(
+        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    from .dedup import shingles_column
+
+    staged = bound.select(
+        F.col(id_col), shingles_column(text_col, k, tokens=F.col("_toks")).alias("_kg")
+    )
+    enc = staged.select(F.col(id_col), _winnow_encode(F.col("_kg")).alias("_enc"))
+    fps = (
+        enc.select(F.col(id_col), F.explode(_winnow_select(F.col("_enc"), w)).alias("_sel"))
+        .select(F.col(id_col), F.substring(F.col("_sel"), 1, 32).alias("fp"))
+        .distinct()
+    )
+    fps = _drop_oversized_buckets(fps, ["fp"], max_bucket_size)
+    left = fps.select(F.col(id_col).alias("doc_a"), "fp")
+    right = fps.select(F.col(id_col).alias("doc_b"), "fp")
+    return (
+        left.join(right, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
 def langid_hit_columns(text_col: str = "text") -> Dict[str, Column]:
     """Per-profile stopword hit counts (one filter+size per profile)."""
     toks = tokens(text_col)

@@ -2245,3 +2245,36 @@ def winnow_fingerprints_sql(
         "SELECT doc_id, cast(len(sels) AS int) AS n_winnowed, "
         "md5(array_to_string(sels, ',')) AS winnow_digest FROM sel"
     )
+
+
+def winnow_near_dups_sql(k: int = 5, w: int = 4, min_shared: int = 2) -> str:
+    """Mirror of operators.textstats.winnow_near_dup_pairs over the
+    standard dedup corpus (CORPUS_CTE): winnow selections at blocking
+    grain k, distinct (doc, hash-part) fingerprints, self-join on fp,
+    shared-count filter. No bucket cap by default — mirrored 1:1 with
+    the operator's default (the CLAUDE.md scale-guard rule: if a cap is
+    ever enabled on the Spark side, _capped_cte must wrap ``fps``)."""
+    parts = " || ' ' || ".join(f"tokens[i+{o}]" if o else "tokens[i]" for o in range(k))
+    return (
+        f"WITH {CORPUS_CTE}, "
+        "t AS (SELECT doc_id, text, string_split(text, ' ') AS tokens FROM corpus), "
+        "kg AS ("
+        f" SELECT doc_id, CASE WHEN len(tokens) >= {k}"
+        f"  THEN list_transform(generate_series(1, len(tokens)-{k - 1}), i -> {parts})"
+        "  ELSE [text] END AS kgs FROM t), "
+        "enc AS ("
+        " SELECT doc_id, list_transform(generate_series(1, len(kgs)),"
+        "  i -> md5(kgs[i]) || '|' || lpad(cast(10000000 - i AS varchar), 8, '0'))"
+        "  AS encs FROM kg), "
+        "sel AS ("
+        " SELECT doc_id, list_distinct(list_transform("
+        f"  generate_series(1, greatest(len(encs) - {w - 1}, 1)),"
+        f"  i -> list_aggregate(encs[i:i+{w - 1}], 'min'))) AS sels FROM enc), "
+        "fps AS MATERIALIZED ("
+        " SELECT DISTINCT doc_id, substr(u, 1, 32) AS fp"
+        " FROM (SELECT doc_id, unnest(sels) AS u FROM sel)) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "cast(count(*) AS bigint) AS n_shared_fps "
+        "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        f"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared}"
+    )

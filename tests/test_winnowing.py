@@ -96,3 +96,31 @@ def test_winnow_table_zero_shuffle(spark):
     assert "Exchange" not in plan, plan
     row = out.collect()[0]
     assert row.n_winnowed == len(_py_winnow("a b c d e f"))
+
+
+def test_winnow_near_dup_pairs_local_overlap(spark):
+    """A shared >= w+k-1-token run pairs two otherwise-different docs
+    (the LOCAL-evidence property MinHash lacks at low global Jaccard);
+    unrelated docs never pair; the cap guard drops everything at cap=1
+    when every fp is shared."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        winnow_near_dup_pairs,
+    )
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    rows = [
+        (1, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 " + shared),
+        (2, shared + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13 c14"),
+        (4, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 " + shared),  # exact copy of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.doc_a, r.doc_b): r.n_shared_fps for r in winnow_near_dup_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in got and (1, 4) in got and (2, 4) in got
+    assert not any(3 in pair for pair in got)
+    # exact copies share their full selection set; the partial overlap
+    # shares strictly fewer
+    assert got[(1, 4)] > got[(1, 2)]
+
+    capped = winnow_near_dup_pairs(df, min_shared=1, max_bucket_size=1).collect()
+    assert capped == []  # every shared fp bucket has >= 2 docs -> dropped
