@@ -1894,6 +1894,37 @@ def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_near_dup_pairs(build_dedup_corpus(spark, sf_dir))
 
 
+def q_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics over a corpus rebuilt as multi-line pages
+    (3 terminally-punctuated lines per doc, with planted rule-breakers:
+    %5 docs lose their third terminal mark, %7 gain a lorem-ipsum line,
+    %11 a curly-brace line, %13 a blocklist line) — every gate column +
+    the keep decision in one codegen projection, zero exchanges."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        c4_gates_table,
+    )
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    third_punct = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(F.lit("!"))
+    body = F.concat(
+        F.col("text"), F.lit("."), nl,
+        F.col("text"), F.lit("?"), nl,
+        F.col("text"), third_punct,
+    )
+    body = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(body, nl, F.lit("lorem Ipsum dolor sit."))
+    ).otherwise(body)
+    body = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(body, nl, F.lit("a { code block }."))
+    ).otherwise(body)
+    body = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(body, nl, F.lit("then BADWORD1 appears here."))
+    ).otherwise(body)
+    pages = docs.select("doc_id", body.alias("text"))
+    return c4_gates_table(pages)
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus overlap (dataset versioning): each corpus
     collapses to a 12-row MinHash signature in one map-combined pass
@@ -2127,6 +2158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnow_near_dups: near-dup variant (MOSS shared-fingerprint
         # pairs) — family repped in-window by near_dup_pairs
         "winnow_near_dups": q_winnow_near_dups,
+        # c4_gates: quality-gate variant (the C4 named rule set) —
+        # family repped in-window by gopher_quality
+        "c4_gates": q_c4_gates,
     }
 
 
@@ -2389,6 +2423,7 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup": _oracles.normalized_dedup_sql(),
         "winnow_fingerprints": _oracles.winnow_fingerprints_sql(),
         "winnow_near_dups": _oracles.winnow_near_dups_sql(),
+        "c4_gates": _oracles.c4_gates_sql(),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "

@@ -284,6 +284,63 @@ def winnow_near_dup_pairs(
     )
 
 
+C4_BAD_WORDS = ("badword1", "badword2")  # caller passes the real list
+C4_MIN_SENTENCES = 3
+C4_MIN_LINE_WORDS = 3
+
+
+def c4_gates_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bad_words: tuple = C4_BAD_WORDS,
+    min_sentences: int = C4_MIN_SENTENCES,
+    min_line_words: int = C4_MIN_LINE_WORDS,
+) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2) as one
+    row-local projection — the fourth named public rule set alongside
+    Gopher (``gopher_quality_table``), CCNet (``lm_quality_buckets``/
+    ``normalize``), and RefinedWeb (``remove_frequent_lines``):
+
+    - a line is RETAINED iff it ends in terminal punctuation (. ! ? ")
+      and has ≥ ``min_line_words`` words; the doc keeps ≥
+      ``min_sentences`` retained lines or is dropped;
+    - drop on 'lorem ipsum' (case-insensitive), on a curly brace ``{``
+      (code tell), and on any blocklist word (lowercased whole-token
+      match — ``arrays_overlap`` with a literal array: the list is
+      request-sized, never a join).
+
+    Output: id, n_lines, n_retained_lines, has_lorem_ipsum, has_curly,
+    has_bad_word, c4_keep — all computed in whole-stage codegen, zero
+    exchanges. The 3-line-span dedup half of C4 lives in
+    ``dedup.duplicate_span_removal``/``remove_frequent_lines``."""
+    lines = F.split(F.col(text_col), "\n")
+    retained = F.filter(
+        lines,
+        lambda ln: (F.size(F.split(F.trim(ln), " +")) >= min_line_words)
+        & F.trim(ln).rlike('[.!?"]$'),
+    )
+    lowered = F.lower(F.col(text_col))
+    low_tokens = F.split(lowered, "[ \n]+")
+    bad_arr = F.array(*[F.lit(wd) for wd in bad_words])
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(retained).cast("int").alias("n_retained_lines"),
+        lowered.contains("lorem ipsum").cast("int").alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").cast("int").alias("has_curly"),
+        F.arrays_overlap(low_tokens, bad_arr).cast("int").alias("has_bad_word"),
+        (
+            (F.size(retained) >= min_sentences)
+            & ~lowered.contains("lorem ipsum")
+            & ~F.col(text_col).contains("{")
+            & ~F.arrays_overlap(low_tokens, bad_arr)
+        )
+        .cast("int")
+        .alias("c4_keep"),
+    )
+
+
 def langid_hit_columns(text_col: str = "text") -> Dict[str, Column]:
     """Per-profile stopword hit counts (one filter+size per profile)."""
     toks = tokens(text_col)

@@ -2278,3 +2278,43 @@ def winnow_near_dups_sql(k: int = 5, w: int = 4, min_shared: int = 2) -> str:
         "FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id "
         f"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared}"
     )
+
+
+def c4_gates_sql(
+    min_sentences: int = 3,
+    min_line_words: int = 3,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.textstats.c4_gates_table over the planted
+    multi-line corpus of q_c4_gates: same line split, terminal-punct
+    regex (explicit class — Java == RE2), min-words-per-line rule,
+    substring flags, and whole-token blocklist match."""
+    retained = (
+        "list_filter(string_split(text, chr(10)), ln ->"
+        f" len(string_split_regex(trim(ln), ' +')) >= {min_line_words}"
+        " AND regexp_matches(trim(ln), '[.!?\"]$'))"
+    )
+    return (
+        "WITH base AS ("
+        f" SELECT doc_id, text || '.' || chr(10) || text || '?' || chr(10) || text"
+        " || CASE WHEN doc_id % 5 = 0 THEN '' ELSE '!' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem Ipsum dolor sit.' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'a { code block }.' ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'then BADWORD1 appears here.' ELSE '' END"
+        f"  AS text FROM {source}), "
+        "g AS ("
+        " SELECT doc_id, text,"
+        " cast(len(string_split(text, chr(10))) AS int) AS n_lines,"
+        f" cast(len({retained}) AS int) AS n_retained_lines,"
+        " cast(contains(lower(text), 'lorem ipsum') AS int) AS has_lorem_ipsum,"
+        " cast(contains(text, '{') AS int) AS has_curly,"
+        " cast(list_has_any(string_split_regex(lower(text), '[ \\n]+'),"
+        "  ['badword1', 'badword2']) AS int) AS has_bad_word"
+        " FROM base) "
+        "SELECT doc_id, n_lines, n_retained_lines, has_lorem_ipsum, has_curly, "
+        "has_bad_word, "
+        f"cast(CASE WHEN n_retained_lines >= {min_sentences}"
+        " AND has_lorem_ipsum = 0 AND has_curly = 0 AND has_bad_word = 0"
+        " THEN 1 ELSE 0 END AS int) AS c4_keep "
+        "FROM g"
+    )

@@ -73,3 +73,31 @@ def test_normalization_stays_in_codegen(spark):
     # two hash-key shuffles max: count(distinct raw) pre-aggregates on
     # (_nfp, text) before the (_nfp) rollup — both keys hash-uniform
     assert groups_plan.count("Exchange hashpartitioning") <= 2, groups_plan
+
+
+def test_c4_gates_hand_cases(spark):
+    """Each C4 rule isolated: sentence count, per-line word minimum,
+    terminal punctuation, lorem ipsum, curly brace, blocklist token
+    (whole-token, case-folded — 'badword1x' must NOT flag)."""
+    from dss_plugin_google_cloud_vision_spark.operators.textstats import (
+        c4_gates_table,
+    )
+
+    rows = [
+        (1, "one two three.\nfour five six?\nseven eight nine!"),        # keeps
+        (2, "one two three.\nfour five six?\nseven eight nine"),         # 2 terminal lines
+        (3, "a b.\nfour five six?\nseven eight nine!\nten eleven twelve."),  # short line dropped, still 3
+        (4, "one two three.\nfour five six?\nseven eight nine!\nLorem IPSUM x."),
+        (5, "one two three.\nfour five six?\nseven eight nine!\ncode { x }."),
+        (6, "one two three.\nfour five six?\nseven eight nine!\nhas BADWORD1 token."),
+        (7, "one two three.\nfour five six?\nseven eight nine!\nbadword1x is fine."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in c4_gates_table(df).collect()}
+    assert [got[i].c4_keep for i in range(1, 8)] == [1, 0, 1, 0, 0, 0, 1]
+    assert got[3].n_retained_lines == 3 and got[3].n_lines == 4
+    assert got[4].has_lorem_ipsum == 1 and got[5].has_curly == 1
+    assert got[6].has_bad_word == 1 and got[7].has_bad_word == 0
+    # zero exchanges: pure projection
+    plan = c4_gates_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
