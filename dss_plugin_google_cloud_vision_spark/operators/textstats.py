@@ -159,7 +159,7 @@ def winnow_selection_column(
     bound attribute — the quadratic trap the shingles docstring
     records); use it for ad-hoc/small inputs and prefer
     ``winnow_fingerprint_table``, which stages each array through a
-    bound column (measured 14x at sf0.1)."""
+    bound column (measured 18.6x at sf0.1)."""
     from .dedup import shingles_column
 
     kgrams = shingles_column(text_col, k, tokens=tokens)
@@ -167,15 +167,49 @@ def winnow_selection_column(
 
 
 def _winnow_encode(kgrams: Column) -> Column:
-    """k-gram array → encoded candidate array (md5 + position suffix)."""
-    return F.transform(
+    """k-gram array → encoded candidate array (md5 + position suffix).
+    The position term (10^7 - pos) is ENFORCED positive (assert_true —
+    the module's fail-loud bound discipline): at ≥ 10^7 k-grams the lpad
+    would truncate/misorder and the rightmost tie-break silently flips,
+    and the oracle mirrors the same arithmetic so it could never catch
+    it. Split documents that long before fingerprinting."""
+    guarded = F.when(
+        F.assert_true(
+            F.size(kgrams) < F.lit(10_000_000),
+            F.lit(
+                "winnowing position encoding overflows at >= 1e7 k-grams "
+                "per document — split the document first"
+            ),
+        ).isNull(),
         kgrams,
+    )
+    return F.transform(
+        guarded,
         lambda s, i: F.concat(
             F.md5(s),
             F.lit("|"),
             F.lpad((F.lit(10_000_000) - (i + F.lit(1))).cast("string"), 8, "0"),
         ),
     )
+
+
+def _staged_winnow_encoded(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, _enc) with every array stage bound through a column — the
+    load-bearing staging that defeats the higher-order re-inline
+    quadratic (CLAUDE.md lambda gotcha; one-expression form measured
+    18.6x slower at sf0.1). Single implementation shared by the per-doc
+    table and the pair generator so a staging fix can never diverge."""
+    from .dedup import shingles_column
+
+    bound = df.select(
+        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    staged = bound.select(
+        F.col(id_col), shingles_column(text_col, k, tokens=F.col("_toks")).alias("_kg")
+    )
+    return staged.select(F.col(id_col), _winnow_encode(F.col("_kg")).alias("_enc"))
 
 
 def _winnow_select(encoded: Column, w: int) -> Column:
@@ -199,20 +233,9 @@ def winnow_fingerprint_table(
     the digest is the md5 of the comma-joined sorted selections (compact
     exact witness of the full selection set). Zero shuffle, and every
     array stage (tokens → k-grams → encoded → selections) is STAGED
-    through a bound column: higher-order lambdas re-inline non-attribute
-    aliases (CollapseProject's isCheap rule), which would re-run the
-    md5 encode per window — the quadratic form measured 14x slower at
-    sf0.1."""
-    from .dedup import shingles_column
-
-    bound = df.select(
-        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_toks")
-    )
-    staged = bound.select(
-        F.col(id_col),
-        shingles_column(text_col, k, tokens=F.col("_toks")).alias("_kg"),
-    )
-    enc = staged.select(F.col(id_col), _winnow_encode(F.col("_kg")).alias("_enc"))
+    through a bound column via ``_staged_winnow_encoded`` — see its
+    docstring for the 18.6x re-inline trap it defeats."""
+    enc = _staged_winnow_encoded(df, id_col, text_col, k)
     sel = enc.select(
         F.col(id_col), _winnow_select(F.col("_enc"), w).alias("_sel")
     )
@@ -258,15 +281,7 @@ def winnow_near_dup_pairs(
     Output: (doc_a, doc_b, n_shared_fps), doc_a < doc_b."""
     from .dedup import _drop_oversized_buckets
 
-    bound = df.select(
-        F.col(id_col), F.col(text_col), F.split(F.col(text_col), " ").alias("_toks")
-    )
-    from .dedup import shingles_column
-
-    staged = bound.select(
-        F.col(id_col), shingles_column(text_col, k, tokens=F.col("_toks")).alias("_kg")
-    )
-    enc = staged.select(F.col(id_col), _winnow_encode(F.col("_kg")).alias("_enc"))
+    enc = _staged_winnow_encoded(df, id_col, text_col, k)
     fps = (
         enc.select(F.col(id_col), F.explode(_winnow_select(F.col("_enc"), w)).alias("_sel"))
         .select(F.col(id_col), F.substring(F.col("_sel"), 1, 32).alias("fp"))

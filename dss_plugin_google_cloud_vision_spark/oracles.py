@@ -2283,12 +2283,15 @@ def winnow_near_dups_sql(k: int = 5, w: int = 4, min_shared: int = 2) -> str:
 def c4_gates_sql(
     min_sentences: int = 3,
     min_line_words: int = 3,
+    bad_words=("badword1", "badword2"),
     source: str = "documents",
 ) -> str:
     """Mirror of operators.textstats.c4_gates_table over the planted
     multi-line corpus of q_c4_gates: same line split, terminal-punct
     regex (explicit class — Java == RE2), min-words-per-line rule,
-    substring flags, and whole-token blocklist match."""
+    substring flags, and whole-token blocklist match. ``bad_words``
+    must mirror the query's list (oracle-discipline rule) — defaults
+    track textstats.C4_BAD_WORDS."""
     retained = (
         "list_filter(string_split(text, chr(10)), ln ->"
         f" len(string_split_regex(trim(ln), ' +')) >= {min_line_words}"
@@ -2309,7 +2312,7 @@ def c4_gates_sql(
         " cast(contains(lower(text), 'lorem ipsum') AS int) AS has_lorem_ipsum,"
         " cast(contains(text, '{') AS int) AS has_curly,"
         " cast(list_has_any(string_split_regex(lower(text), '[ \\n]+'),"
-        "  ['badword1', 'badword2']) AS int) AS has_bad_word"
+        f"  [{', '.join(chr(39) + w.replace(chr(39), chr(39)*2) + chr(39) for w in bad_words)}]) AS int) AS has_bad_word"
         " FROM base) "
         "SELECT doc_id, n_lines, n_retained_lines, has_lorem_ipsum, has_curly, "
         "has_bad_word, "
