@@ -101,3 +101,33 @@ def test_c4_gates_hand_cases(spark):
     # zero exchanges: pure projection
     plan = c4_gates_table(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_normalize_python_replica_and_idempotence(spark):
+    """Batch property test: the fold chain matches a python re replica
+    (same explicit ASCII classes) on random unicode-ish strings, and is
+    idempotent (normalize(normalize(x)) == normalize(x))."""
+    import random
+    import re
+
+    def py_norm(s):
+        s = s.lower()
+        s = re.sub(r"[0-9]", "0", s)
+        s = re.sub(r"[^a-z0-9 ]", "", s)
+        return re.sub(r" +", " ", s).strip()
+
+    rng = random.Random(42)
+    alphabet = "abXY 09.,!?{}é中\tß"
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i bigint, text string")
+    out = df.select(
+        "i",
+        normalized_text_column("text").alias("once"),
+    ).select("i", "once", normalized_text_column("once").alias("twice"))
+    rows = {r.i: (r.once, r.twice) for r in out.collect()}
+    for i, t in enumerate(texts):
+        assert rows[i][0] == py_norm(t), (t, rows[i][0])
+        assert rows[i][1] == rows[i][0], ("not idempotent", t)

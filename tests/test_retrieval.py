@@ -261,3 +261,25 @@ def test_phrase_search_filters_before_join(docs):
     # slot filters precede the join: the join inputs are filtered postings
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Filter") >= 2, plan
+
+
+def test_bm25_random_corpus_parity(spark):
+    """Batch property test: integer BM25 matches the python reference on
+    a randomized Zipf-ish corpus (repeated terms, variable lengths,
+    docs missing every query term)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = ["t%d" % j for j in range(12)]
+    corpus = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60))))
+        for i in range(80)
+    ]
+    terms = ["t0", "t1", "t7"]
+    expected = _py_bm25(corpus, terms)
+    df = spark.createDataFrame(corpus, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.score_micro, r.n_terms_matched)
+        for r in bm25_topk(df, terms, k=len(corpus)).collect()
+    }
+    assert got == expected
