@@ -1925,6 +1925,27 @@ def q_c4_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_gates_table(pages)
 
 
+def q_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage retrieval = the chunking operator composed with BM25:
+    token-window chunks (row-local) become the retrieval corpus under a
+    composite passage key (doc_id*10000 + chunk_id), scored by the same
+    integer BM25 — top passages, not top documents. Oracle nests the
+    chunk SQL as the BM25 source (operator composability is mirrored by
+    CTE composability)."""
+    from dss_plugin_google_cloud_vision_spark.operators.packing import (
+        chunk_documents,
+    )
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import bm25_topk
+
+    docs = _table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, stride_tokens=48)
+    passages = chunks.select(
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    return bm25_topk(passages, ["spark", "merge", "join"], k=15)
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus overlap (dataset versioning): each corpus
     collapses to a 12-row MinHash signature in one map-combined pass
@@ -2161,6 +2182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # c4_gates: quality-gate variant (the C4 named rule set) —
         # family repped in-window by gopher_quality
         "c4_gates": q_c4_gates,
+        # passage_retrieval: retrieval variant (chunking x BM25
+        # composition) — family repped in-window by bm25_topk
+        "passage_retrieval": q_passage_retrieval,
     }
 
 
@@ -2424,6 +2448,16 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _oracles.winnow_fingerprints_sql(),
         "winnow_near_dups": _oracles.winnow_near_dups_sql(),
         "c4_gates": _oracles.c4_gates_sql(),
+        "passage_retrieval": _oracles.bm25_topk_sql(
+            ("spark", "merge", "join"),
+            k=15,
+            source=(
+                "(SELECT doc_id * 10000 + chunk_id AS doc_id,"
+                " chunk_text AS text FROM ("
+                + _oracles.chunk_documents_sql(64, 48)
+                + ") chunks) passages"
+            ),
+        ),
         "session_stats": (
             "WITH m AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
             " CASE WHEN lag(ts) OVER w IS NULL "
