@@ -314,6 +314,53 @@ def _meta_path(index_path: str) -> str:
     return index_path.rstrip("/") + "_meta"
 
 
+def append_to_lexical_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental INGEST into a persisted lexical index (the arriving-
+    crawl path, mirroring ``similarity.append_to_ivf_index``): the new
+    documents' tf postings land in their token-hash shard directories
+    under the layout the index was BUILT with (read from _meta — a
+    caller cannot desync the shard hash), and _meta's corpus totals are
+    advanced by the increment so idf/avgdl keep reflecting the whole
+    corpus. Searches after an append are IDENTICAL to a fresh build over
+    old ∪ new (tested): tf rows are per-document, so append never needs
+    to rewrite existing postings.
+
+    The _meta rewrite is last and not atomic with the postings append; a
+    crash between the two leaves stale totals (slightly stale idf/avgdl
+    scaling, no missing documents) — re-running the append's meta step,
+    or the next successful append, heals it. Callers needing atomic
+    visibility should stage under ``sources.snapshots.SnapshotLog``."""
+    from .selection import hashed_ngram_bucket
+
+    spark = df.sparkSession
+    meta_old = spark.read.parquet(_meta_path(index_path)).first()
+    post = _postings_with_dl(df, id_col, text_col)
+    tf = post.groupBy(id_col, "dl", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    tf.withColumn(
+        "shard", hashed_ngram_bucket(F.col("token"), meta_old.n_shards, meta_old.seed)
+    ).write.mode("append").partitionBy("shard").parquet(index_path)
+    inc = _corpus_totals(df, id_col, text_col).first()
+    meta_new = spark.createDataFrame(
+        [
+            (
+                meta_old.n_docs + inc.n_docs,
+                meta_old.total_len + inc.total_len,
+                meta_old.n_shards,
+                meta_old.seed,
+            )
+        ],
+        "n_docs bigint, total_len bigint, n_shards int, seed int",
+    )
+    meta_new.coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+
+
 def search_lexical_index(
     spark,
     index_path: str,

@@ -283,3 +283,40 @@ def test_bm25_random_corpus_parity(spark):
         for r in bm25_topk(df, terms, k=len(corpus)).collect()
     }
     assert got == expected
+
+
+def test_append_to_lexical_index_equals_fresh_build(docs, tmp_path):
+    """build(half A) + append(half B) must answer every query exactly
+    like build(A ∪ B): same tf rows, same advanced totals, same scores
+    and ranks."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        append_to_lexical_index,
+        build_lexical_index,
+        search_lexical_index,
+    )
+
+    spark = docs.sparkSession
+    half_a = docs.filter(F.col("doc_id") <= 2)
+    half_b = docs.filter(F.col("doc_id") > 2)
+    inc_path = str(tmp_path / "inc_index")
+    full_path = str(tmp_path / "full_index")
+    build_lexical_index(half_a, inc_path)
+    append_to_lexical_index(half_b, inc_path)
+    build_lexical_index(docs, full_path)
+    for terms in (["spark", "merge", "join"], ["a"], ["the", "dog"]):
+        inc = [
+            (r.doc_id, r.score_micro, r.n_terms_matched, r.rank)
+            for r in search_lexical_index(spark, inc_path, terms, k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        full = [
+            (r.doc_id, r.score_micro, r.n_terms_matched, r.rank)
+            for r in search_lexical_index(spark, full_path, terms, k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert inc == full and len(inc) > 0
+    # totals advanced exactly
+    meta = spark.read.parquet(inc_path + "_meta").first()
+    assert meta.n_docs == docs.count()
