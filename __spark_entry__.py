@@ -1946,6 +1946,27 @@ def q_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(passages, ["spark", "merge", "join"], k=15)
 
 
+MQ_BM25_QUERIES = {
+    "q_engine": ["spark", "merge", "join"],
+    "q_data": ["table", "row", "column"],
+    "q_mixed": ["spark", "table", "window"],
+}
+
+
+def q_multi_query_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A BATCH of BM25 queries in one corpus pass (decontamination-
+    mining shape): broadcast (query_id, token) fan-out, token-grain df
+    shared across queries, per-query rank window (bounded partitions —
+    one per query id). Single-query batches match bm25_topk exactly
+    (tested)."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        multi_query_bm25,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    return multi_query_bm25(docs, MQ_BM25_QUERIES, k=8)
+
+
 def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-vs-corpus overlap (dataset versioning): each corpus
     collapses to a 12-row MinHash signature in one map-combined pass
@@ -2185,6 +2206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # passage_retrieval: retrieval variant (chunking x BM25
         # composition) — family repped in-window by bm25_topk
         "passage_retrieval": q_passage_retrieval,
+        # multi_query_bm25: retrieval variant (batched query fan-out) —
+        # family repped in-window by bm25_topk
+        "multi_query_bm25": q_multi_query_bm25,
     }
 
 
@@ -2448,6 +2472,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _oracles.winnow_fingerprints_sql(),
         "winnow_near_dups": _oracles.winnow_near_dups_sql(),
         "c4_gates": _oracles.c4_gates_sql(),
+        "multi_query_bm25": _oracles.multi_query_bm25_sql(MQ_BM25_QUERIES, k=8),
         "passage_retrieval": _oracles.bm25_topk_sql(
             ("spark", "merge", "join"),
             k=15,

@@ -248,6 +248,93 @@ def phrase_search(
     )
 
 
+def multi_query_bm25(
+    df: DataFrame,
+    queries: dict,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_centi: int = BM25_K1_CENTI,
+    b_centi: int = BM25_B_CENTI,
+    scale: int = BM25_SCALE,
+) -> DataFrame:
+    """A BATCH of BM25 queries in one corpus pass — the decontamination-
+    mining shape (hundreds of benchmark probes at once): ``queries`` maps
+    query_id → term list. One postings pass filtered to the UNION of all
+    terms, a broadcast (query_id, token) join fans each posting into its
+    queries, df_t is computed once per token (not per query), and the
+    per-query top-k is a rank window PARTITIONED by query_id (bounded
+    partitions — one per query — never a global sort). Same integer
+    arithmetic as ``bm25_topk``: a single-query batch returns exactly
+    its rows.
+
+    Output: (query_id, id, score_micro, n_terms_matched, rank),
+    rank ≤ k per query, ties by ascending id."""
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("multi_query_bm25 requires at least one query")
+    pairs = sorted({(qid, t) for qid, terms in queries.items() for t in terms})
+    if not pairs:
+        raise ValueError("multi_query_bm25 queries must have terms")
+    all_terms = sorted({t for _, t in pairs})
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(pairs, "query_id string, token string")
+    totals = _corpus_totals(df, id_col, text_col)
+    qpost = _postings_with_dl(df, id_col, text_col).filter(
+        F.col("token").isin(all_terms)
+    )
+    tf = qpost.groupBy(id_col, "dl", "token").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    # df_t at token grain, shared across queries
+    dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df_t"))
+    scored_terms = (
+        tf.join(F.broadcast(dft), "token")
+        .join(F.broadcast(qterms), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("avgdl_centi", F.expr("div(100 * total_len, n_docs)"))
+        .withColumn(
+            "idf_milli",
+            F.expr("div((2 * n_docs - 2 * df_t + 1) * 1000, 2 * df_t + 1)"),
+        )
+        .withColumn(
+            "tf_sat_micro",
+            F.expr(
+                f"div(tf * {100 + k1_centi} * 100 * avgdl_centi * {scale}, "
+                f"10000 * avgdl_centi * tf "
+                f"+ {k1_centi} * ({100 - b_centi} * avgdl_centi + {100 * b_centi} * dl))"
+            ),
+        )
+        .withColumn(
+            "term_score_micro",
+            F.when(
+                F.assert_true(
+                    F.expr(
+                        f"tf * avgdl_centi <= {_sat_numerator_bound(k1_centi, scale)}"
+                        f" AND n_docs <= {_idf_corpus_bound(k1_centi, scale)}"
+                    ),
+                    F.lit(
+                        "bm25 int64 bound exceeded (tf*avgdl or corpus "
+                        "size) — lower the milli/micro scales"
+                    ),
+                ).isNull(),
+                F.expr("div(idf_milli * tf_sat_micro, 1000)"),
+            ),
+        )
+    )
+    scored = scored_terms.groupBy("query_id", id_col).agg(
+        F.sum("term_score_micro").cast("bigint").alias("score_micro"),
+        F.count("*").cast("bigint").alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 # ---------------------------------------------------------------------------
 # persisted lexical lake index (the IVF-index discipline, for terms)
 # ---------------------------------------------------------------------------

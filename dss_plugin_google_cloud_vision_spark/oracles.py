@@ -2321,3 +2321,63 @@ def c4_gates_sql(
         " THEN 1 ELSE 0 END AS int) AS c4_keep "
         "FROM g"
     )
+
+
+def multi_query_bm25_sql(
+    queries: dict,
+    k: int = 10,
+    k1_centi: int = 120,
+    b_centi: int = 75,
+    scale: int = 1_000_000,
+    source: str = "documents",
+) -> str:
+    """Mirror of operators.retrieval.multi_query_bm25: the bm25 CTE
+    chain with a VALUES (query_id, token) table joined in, df_t shared
+    at token grain, per-query rank window."""
+    pairs = sorted({(qid, t) for qid, terms in queries.items() for t in terms})
+    def esc(x):
+        return "'" + x.replace("'", "''") + "'"
+    values = ", ".join(f"({esc(q)}, {esc(t)})" for q, t in pairs)
+    in_list = ", ".join(esc(t) for t in sorted({t for _, t in pairs}))
+    return (
+        "WITH docs AS ("
+        f" SELECT doc_id, string_split(text, ' ') AS toks FROM {source}), "
+        "qterms(query_id, token) AS (VALUES " + values + "), "
+        "tot AS ("
+        " SELECT cast(count(*) AS bigint) AS n_docs,"
+        " cast(sum(len(toks)) AS bigint) AS total_len FROM docs), "
+        "post AS ("
+        " SELECT doc_id, cast(len(toks) AS bigint) AS dl, unnest(toks) AS token"
+        " FROM docs), "
+        "tf AS ("
+        " SELECT doc_id, dl, token, cast(count(*) AS bigint) AS tf"
+        f" FROM post WHERE token IN ({in_list}) GROUP BY doc_id, dl, token), "
+        "dft AS ("
+        " SELECT token, cast(count(*) AS bigint) AS df_t FROM tf GROUP BY token), "
+        "st AS ("
+        " SELECT q.query_id, tf.doc_id,"
+        " (100 * tot.total_len) // tot.n_docs AS avgdl_centi,"
+        " ((2 * tot.n_docs - 2 * dft.df_t + 1) * 1000) // (2 * dft.df_t + 1)"
+        "  AS idf_milli,"
+        " tf.tf, tf.dl"
+        " FROM tf JOIN dft USING (token) JOIN qterms q USING (token)"
+        " CROSS JOIN tot), "
+        "ts AS ("
+        " SELECT query_id, doc_id, idf_milli,"
+        f" (tf * {100 + k1_centi} * 100 * avgdl_centi * {scale})"
+        f"  // (10000 * avgdl_centi * tf"
+        f"   + {k1_centi} * ({100 - b_centi} * avgdl_centi + {100 * b_centi} * dl))"
+        "  AS tf_sat_micro"
+        " FROM st), "
+        "scored AS ("
+        " SELECT query_id, doc_id,"
+        " cast(sum((idf_milli * tf_sat_micro) // 1000) AS bigint) AS score_micro,"
+        " cast(count(*) AS bigint) AS n_terms_matched"
+        " FROM ts GROUP BY query_id, doc_id) "
+        "SELECT query_id, doc_id, score_micro, n_terms_matched, "
+        "cast(rank AS int) AS rank FROM ("
+        " SELECT *, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank"
+        " FROM scored) "
+        f"WHERE rank <= {k}"
+    )

@@ -320,3 +320,28 @@ def test_append_to_lexical_index_equals_fresh_build(docs, tmp_path):
     # totals advanced exactly
     meta = spark.read.parquet(inc_path + "_meta").first()
     assert meta.n_docs == docs.count()
+
+
+def test_multi_query_bm25_matches_single_query(docs):
+    """A batch of queries returns, for each query_id, exactly the rows
+    bm25_topk returns for that query alone; empty batches raise."""
+    from dss_plugin_google_cloud_vision_spark.operators.retrieval import (
+        multi_query_bm25,
+    )
+
+    batch = {"qa": ["spark", "merge", "join"], "qb": ["a"], "qc": ["the", "dog"]}
+    got = {}
+    for r in multi_query_bm25(docs, batch, k=10).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, r.score_micro, r.n_terms_matched)
+        )
+    for qid, terms in batch.items():
+        single = [
+            (r.rank, r.doc_id, r.score_micro, r.n_terms_matched)
+            for r in bm25_topk(docs, terms, k=10).collect()
+        ]
+        assert sorted(got.get(qid, [])) == sorted(single), qid
+    with pytest.raises(ValueError):
+        multi_query_bm25(docs, {})
+    with pytest.raises(ValueError):
+        multi_query_bm25(docs, {"q": []})
