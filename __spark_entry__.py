@@ -1939,8 +1939,18 @@ def q_passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_tokens=64, stride_tokens=48)
+    # composite-key guard: chunk_id >= 10000 would collide with the next
+    # doc's key, and the oracle mirrors the same arithmetic so it could
+    # never catch it — fail loudly (assert_true) past the bound
+    guarded_chunk = F.when(
+        F.assert_true(
+            F.col("chunk_id") < 10000,
+            F.lit("passage key collides at >= 10000 chunks per doc"),
+        ).isNull(),
+        F.col("chunk_id"),
+    )
     passages = chunks.select(
-        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("doc_id"),
+        (F.col("doc_id") * 10000 + guarded_chunk).alias("doc_id"),
         F.col("chunk_text").alias("text"),
     )
     return bm25_topk(passages, ["spark", "merge", "join"], k=15)

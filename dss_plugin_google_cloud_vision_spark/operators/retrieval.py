@@ -165,6 +165,27 @@ def _bm25_rank_tf(
     (n_docs, total_len) totals table — shared by the in-memory query
     path and the persisted-index search path (identical arithmetic, so
     both agree bit-for-bit with the same oracle)."""
+    scored = _term_scores(tf, totals, k1_centi, b_centi, scale).groupBy(id_col).agg(
+        F.sum("term_score_micro").cast("bigint").alias("score_micro"),
+        F.count("*").cast("bigint").alias("n_terms_matched"),
+    )
+    return _ranked_topk(scored, k, id_col, "score_micro")
+
+
+def _term_scores(
+    tf: DataFrame,
+    totals: DataFrame,
+    k1_centi: int,
+    b_centi: int,
+    scale: int,
+) -> DataFrame:
+    """THE BM25 integer arithmetic — one implementation for every
+    retrieval surface (single query, persisted index, multi-query
+    batch): df_t at token grain, rational idf_milli, centi-integer tf
+    saturation, enforced int64 bounds. Input ``tf`` must be (id, dl,
+    token, tf) with (id, token) DISTINCT — df_t is a plain count on
+    that invariant, so any query fan-out joins AFTER this function.
+    Returns the input grain + term_score_micro."""
     # (id, token) is distinct after the rollup, so df_t is a plain count;
     # ≤ n_query_terms rows — broadcast back onto the posting lists
     dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df_t"))
@@ -200,7 +221,7 @@ def _bm25_rank_tf(
                         f" AND n_docs <= {_idf_corpus_bound(k1_centi, scale)}"
                     ),
                     F.lit(
-                        "bm25_topk int64 bound exceeded (tf*avgdl or corpus "
+                        "bm25 int64 bound exceeded (tf*avgdl or corpus "
                         "size) — lower the milli/micro scales"
                     ),
                 ).isNull(),
@@ -208,11 +229,7 @@ def _bm25_rank_tf(
             ),
         )
     )
-    scored = scored_terms.groupBy(id_col).agg(
-        F.sum("term_score_micro").cast("bigint").alias("score_micro"),
-        F.count("*").cast("bigint").alias("n_terms_matched"),
-    )
-    return _ranked_topk(scored, k, id_col, "score_micro")
+    return scored_terms
 
 
 def phrase_search(
@@ -274,9 +291,12 @@ def multi_query_bm25(
 
     if not queries:
         raise ValueError("multi_query_bm25 requires at least one query")
+    empty = sorted(qid for qid, terms in queries.items() if not terms)
+    if empty:
+        # fail loudly, mirroring bm25_topk's empty-query rule — silently
+        # returning no rows for a query reads as "no matches found"
+        raise ValueError(f"multi_query_bm25 queries have no terms: {empty}")
     pairs = sorted({(qid, t) for qid, terms in queries.items() for t in terms})
-    if not pairs:
-        raise ValueError("multi_query_bm25 queries must have terms")
     all_terms = sorted({t for _, t in pairs})
     spark = df.sparkSession
     qterms = spark.createDataFrame(pairs, "query_id string, token string")
@@ -287,50 +307,38 @@ def multi_query_bm25(
     tf = qpost.groupBy(id_col, "dl", "token").agg(
         F.count("*").cast("bigint").alias("tf")
     )
-    # df_t at token grain, shared across queries
-    dft = tf.groupBy("token").agg(F.count("*").cast("bigint").alias("df_t"))
-    scored_terms = (
-        tf.join(F.broadcast(dft), "token")
+    # term scores BEFORE the query fan-out: df_t stays token-grain (a
+    # token in two queries must not double its document frequency), and
+    # the scoring arithmetic is the single shared implementation
+    scored = (
+        _term_scores(tf, totals, k1_centi, b_centi, scale)
         .join(F.broadcast(qterms), "token")
-        .crossJoin(F.broadcast(totals))
-        .withColumn("avgdl_centi", F.expr("div(100 * total_len, n_docs)"))
-        .withColumn(
-            "idf_milli",
-            F.expr("div((2 * n_docs - 2 * df_t + 1) * 1000, 2 * df_t + 1)"),
-        )
-        .withColumn(
-            "tf_sat_micro",
-            F.expr(
-                f"div(tf * {100 + k1_centi} * 100 * avgdl_centi * {scale}, "
-                f"10000 * avgdl_centi * tf "
-                f"+ {k1_centi} * ({100 - b_centi} * avgdl_centi + {100 * b_centi} * dl))"
-            ),
-        )
-        .withColumn(
-            "term_score_micro",
-            F.when(
-                F.assert_true(
-                    F.expr(
-                        f"tf * avgdl_centi <= {_sat_numerator_bound(k1_centi, scale)}"
-                        f" AND n_docs <= {_idf_corpus_bound(k1_centi, scale)}"
-                    ),
-                    F.lit(
-                        "bm25 int64 bound exceeded (tf*avgdl or corpus "
-                        "size) — lower the milli/micro scales"
-                    ),
-                ).isNull(),
-                F.expr("div(idf_milli * tf_sat_micro, 1000)"),
-            ),
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("term_score_micro").cast("bigint").alias("score_micro"),
+            F.count("*").cast("bigint").alias("n_terms_matched"),
         )
     )
-    scored = scored_terms.groupBy("query_id", id_col).agg(
-        F.sum("term_score_micro").cast("bigint").alias("score_micro"),
-        F.count("*").cast("bigint").alias("n_terms_matched"),
+    # two-phase per-query top-k: a common probe term would otherwise
+    # funnel its query's whole matched set into ONE window task (the
+    # single-task skew _ranked_topk avoids via TakeOrdered). Phase 1
+    # keeps k per (query, salt) — partitions are matched/SALTS — and the
+    # final exact window sees ≤ SALTS*k rows per query. Result-identical
+    # to the unsalted window (a global top-k row is top-k in its salt).
+    salts = 32
+    order = (F.desc("score_micro"), F.asc(id_col))
+    # pmod(hash) salts any id type; the salt only shapes partitioning,
+    # never the result, so engine-local hash semantics are fine here
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.hash(F.col(id_col)), F.lit(salts))
+    ).orderBy(*order)
+    pruned = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score_micro"), F.asc(id_col)
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
 
@@ -393,6 +401,7 @@ def build_lexical_index(
         "total_len",
         F.lit(n_shards).cast("int").alias("n_shards"),
         F.lit(seed).cast("int").alias("seed"),
+        F.lit(id_col).alias("id_col"),
     )
     meta.coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
 
@@ -406,26 +415,60 @@ def append_to_lexical_index(
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    check_duplicate_ids: bool = True,
 ) -> None:
     """Incremental INGEST into a persisted lexical index (the arriving-
     crawl path, mirroring ``similarity.append_to_ivf_index``): the new
     documents' tf postings land in their token-hash shard directories
-    under the layout the index was BUILT with (read from _meta — a
-    caller cannot desync the shard hash), and _meta's corpus totals are
-    advanced by the increment so idf/avgdl keep reflecting the whole
-    corpus. Searches after an append are IDENTICAL to a fresh build over
+    under the layout the index was BUILT with (shard hash, seed, AND
+    id column name all read from _meta — a caller cannot desync any of
+    them), and _meta's corpus totals are advanced by the increment.
+    Searches after an append are IDENTICAL to a fresh build over
     old ∪ new (tested): tf rows are per-document, so append never needs
     to rewrite existing postings.
 
-    The _meta rewrite is last and not atomic with the postings append; a
-    crash between the two leaves stale totals (slightly stale idf/avgdl
-    scaling, no missing documents) — re-running the append's meta step,
-    or the next successful append, heals it. Callers needing atomic
-    visibility should stage under ``sources.snapshots.SnapshotLog``."""
+    ``check_duplicate_ids`` (default ON) anti-probes the increment's ids
+    against the stored index and raises if any already exist —
+    re-appended documents would silently double df_t and their own
+    scores (the (id, token)-distinct invariant ``_term_scores`` counts
+    on). The probe is a column-pruned scan of the id column; at a scale
+    where that hurts, disable it only when the ingest pipeline itself
+    guarantees exactly-once ids (e.g. the streaming ledger pattern).
+
+    Crash contract: the postings append and the _meta rewrite are two
+    non-atomic writes. A crash between them leaves the increment's
+    postings in but the totals stale — searches still see every
+    document, with slightly understated idf/avgdl. Run
+    ``repair_lexical_index_meta`` to recompute exact totals from the
+    stored postings (do NOT re-run the append: the duplicate-id guard
+    will refuse it, by design). Callers needing atomic visibility
+    should stage under ``sources.snapshots.SnapshotLog``."""
     from .selection import hashed_ngram_bucket
 
     spark = df.sparkSession
     meta_old = spark.read.parquet(_meta_path(index_path)).first()
+    stored_id_col = getattr(meta_old, "id_col", id_col)
+    if stored_id_col != id_col:
+        raise ValueError(
+            f"lexical index at {index_path} stores ids in column "
+            f"'{stored_id_col}'; append called with id_col='{id_col}' — "
+            "mixed-schema parquet would silently null the appended ids"
+        )
+    if check_duplicate_ids:
+        existing = spark.read.parquet(index_path).select(id_col).distinct()
+        dup = (
+            df.select(id_col)
+            .distinct()
+            .join(existing, id_col, "left_semi")
+            .limit(5)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                "append_to_lexical_index: increment re-appends ids already "
+                f"in the index (e.g. {[r[0] for r in dup]}) — duplicates "
+                "double df_t and scores; dedup the increment first"
+            )
     post = _postings_with_dl(df, id_col, text_col)
     tf = post.groupBy(id_col, "dl", "token").agg(
         F.count("*").cast("bigint").alias("tf")
@@ -434,18 +477,53 @@ def append_to_lexical_index(
         "shard", hashed_ngram_bucket(F.col("token"), meta_old.n_shards, meta_old.seed)
     ).write.mode("append").partitionBy("shard").parquet(index_path)
     inc = _corpus_totals(df, id_col, text_col).first()
-    meta_new = spark.createDataFrame(
-        [
-            (
-                meta_old.n_docs + inc.n_docs,
-                meta_old.total_len + inc.total_len,
-                meta_old.n_shards,
-                meta_old.seed,
-            )
-        ],
-        "n_docs bigint, total_len bigint, n_shards int, seed int",
+    _write_lexical_meta(
+        spark,
+        index_path,
+        meta_old.n_docs + inc.n_docs,
+        meta_old.total_len + inc.total_len,
+        meta_old.n_shards,
+        meta_old.seed,
+        id_col,
     )
-    meta_new.coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+
+
+def _write_lexical_meta(
+    spark, index_path: str, n_docs: int, total_len: int, n_shards: int, seed: int, id_col: str
+) -> None:
+    meta = spark.createDataFrame(
+        [(n_docs, total_len, n_shards, seed, id_col)],
+        "n_docs bigint, total_len bigint, n_shards int, seed int, id_col string",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(_meta_path(index_path))
+
+
+def repair_lexical_index_meta(spark, index_path: str) -> None:
+    """Recompute _meta's corpus totals EXACTLY from the stored postings
+    (the recovery op for a crash between an append's postings write and
+    its meta write): every indexed document appears in the postings with
+    its dl, so distinct (id, dl) reproduces n_docs/total_len precisely.
+    One full-index scan of three columns — a recovery cost, not a
+    per-append one. Layout fields (n_shards, seed, id_col) are
+    preserved from the existing meta."""
+    meta_old = spark.read.parquet(_meta_path(index_path)).first()
+    id_col = getattr(meta_old, "id_col", "doc_id")
+    docs = (
+        spark.read.parquet(index_path).select(id_col, "dl").distinct()
+    )
+    totals = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    ).first()
+    _write_lexical_meta(
+        spark,
+        index_path,
+        totals.n_docs,
+        totals.total_len,
+        meta_old.n_shards,
+        meta_old.seed,
+        id_col,
+    )
 
 
 def search_lexical_index(
@@ -475,13 +553,19 @@ def search_lexical_index(
     if not terms:
         raise ValueError("search_lexical_index requires at least one query term")
     meta = spark.read.parquet(_meta_path(index_path))
-    stored = meta.select("n_shards", "seed").first()
+    stored = meta.first()
     if (stored.n_shards, stored.seed) != (n_shards, seed):
         raise ValueError(
             f"lexical index at {index_path} was built with n_shards="
             f"{stored.n_shards}, seed={stored.seed}; search called with "
             f"n_shards={n_shards}, seed={seed} — pruning would read the "
             "wrong shards"
+        )
+    stored_id_col = getattr(stored, "id_col", id_col)
+    if stored_id_col != id_col:
+        raise ValueError(
+            f"lexical index at {index_path} stores ids in column "
+            f"'{stored_id_col}'; search called with id_col='{id_col}'"
         )
     shards = sorted({_token_shard_py(t, n_shards, seed) for t in terms})
     tf = (
