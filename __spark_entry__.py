@@ -1319,6 +1319,53 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_urls(messy).select("doc_id", "url", "canonical_url")
 
 
+def q_url_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL revisit dedup (operators.urls.latest_per_url):
+    every 3 consecutive doc_ids are rendered as three snapshot visits of
+    ONE logical page — three messy spellings of the same canonical URL,
+    with the two newest visits TYING on the crawl timestamp so the
+    id tie-break is exercised on every full group. Keep-newest election
+    at canonical-url grain: map-combined max(struct(ts, id)), one
+    shuffle, no window. The oracle predicts the canonical form
+    analytically (canonicalization itself is chain-mirrored by
+    url_canonicalize) and mirrors the lexicographic election as
+    max-ts-then-max-id-at-max-ts."""
+    from dss_plugin_google_cloud_vision_spark.operators.urls import latest_per_url
+
+    docs = _table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    logical = F.expr("doc_id div 3").cast("string")
+    slot = d % 3
+    url = (
+        F.when(
+            slot == 1,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/snap/"),
+                logical,
+                F.lit("?a=1&b=2&utm_source=x"),
+            ),
+        )
+        .when(
+            slot == 2,
+            F.concat(
+                F.lit("https://www.example.com/snap/"),
+                logical,
+                F.lit("?b=2&a=1&gclid=z#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.example.com/snap/"), logical, F.lit("?b=2&a=1"))
+        )
+    )
+    ts = (
+        F.lit(1600000000000).cast("long")
+        + F.expr("doc_id div 3") * 7919
+        + F.when(slot == 0, F.lit(0)).otherwise(F.lit(5))
+    )
+    visits = docs.select("doc_id", url.alias("url"), ts.alias("ts_milli"))
+    return latest_per_url(visits, ts_col="ts_milli")
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl ingest near-dedup (mirror of
     oracles.incremental_near_dup_sql): the corpus is the even documents;
@@ -2219,6 +2266,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multi_query_bm25: retrieval variant (batched query fan-out) —
         # family repped in-window by bm25_topk
         "multi_query_bm25": q_multi_query_bm25,
+        # url_revisit_dedup: url-family variant (cross-snapshot keep-newest
+        # election over canonical URLs) — canonical form repped in-window
+        # by url_canonicalize, grouped election by exact_dedup/argmax
+        "url_revisit_dedup": q_url_revisit_dedup,
     }
 
 
@@ -2438,6 +2489,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_contamination": _oracles.ngram_contamination_sql(),
         "incremental_near_dup": _oracles.incremental_near_dup_sql(),
         "url_canonicalize": _oracles.url_canonicalize_sql(),
+        "url_revisit_dedup": _oracles.url_revisit_dedup_sql(),
         "gopher_quality": _oracles.gopher_quality_sql(),
         "line_dedup": _oracles.line_dedup_sql(),
         "duplicate_spans": _oracles.duplicate_span_sql(),

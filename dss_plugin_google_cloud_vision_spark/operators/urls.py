@@ -70,3 +70,40 @@ def canonical_url_column(url_col: str = "url") -> Column:
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url", out: str = "canonical_url") -> DataFrame:
     return df.withColumn(out, canonical_url_column(url_col))
+
+
+def latest_per_url(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+    out: str = "canonical_url",
+) -> DataFrame:
+    """Cross-snapshot revisit dedup: keep the NEWEST crawl of each
+    canonical URL (Common-Crawl re-crawls the same page across monthly
+    snapshots; training corpora want one copy, and the freshest).
+
+    Election is a map-combined ``max(struct(ts, id))`` per canonical URL —
+    lexicographic, so ties on the timestamp break to the highest id,
+    deterministically. One shuffle at canonical-url grain, partial
+    aggregation on the map side, and NO window function: a hot URL
+    re-crawled in every snapshot never concentrates in one task beyond
+    its post-combine partials. Output is the election at canonical-url
+    grain (``canonical_url, n_visits, kept_ts, kept_id``); recovering the
+    full winning rows is an ``id``-grain join the caller composes when
+    needed (winners are corpus-sized — never driver-collected here).
+    """
+    winner = F.max(
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"))
+    ).alias("_w")
+    return (
+        df.select(canonical_url_column(url_col).alias(out), ts_col, id_col)
+        .groupBy(out)
+        .agg(F.count(F.lit(1)).alias("n_visits"), winner)
+        .select(
+            out,
+            "n_visits",
+            F.col("_w.ts").alias("kept_ts"),
+            F.col("_w.id").alias("kept_id"),
+        )
+    )

@@ -777,6 +777,34 @@ def url_canonicalize_sql() -> str:
     )
 
 
+def url_revisit_dedup_sql() -> str:
+    """Mirror of ``q_url_revisit_dedup`` (operators.urls.latest_per_url).
+
+    The canonical URL is predicted ANALYTICALLY from the render template
+    (the canonicalization chain itself is mirrored rule-by-rule in
+    url_canonicalize_sql — this oracle isolates the NEW logic, the
+    keep-newest election). Lexicographic ``max(struct(ts, id))`` is
+    mirrored engine-neutrally as max ts, then max id among max-ts rows.
+    DuckDB ``//`` for the visit-group division (``/`` is float division
+    — CLAUDE.md cross-engine rule)."""
+    return (
+        "WITH visits AS ("
+        " SELECT doc_id,"
+        "  'https://www.example.com/snap/' || cast(doc_id // 3 AS varchar)"
+        "   || '?a=1&b=2' AS canonical_url,"
+        "  1600000000000 + (doc_id // 3) * 7919"
+        "   + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 5 END) AS ts_milli"
+        " FROM documents), "
+        "g AS ("
+        " SELECT canonical_url, count(*) AS n_visits, max(ts_milli) AS kept_ts"
+        " FROM visits GROUP BY canonical_url) "
+        "SELECT g.canonical_url, g.n_visits, g.kept_ts, max(v.doc_id) AS kept_id "
+        "FROM g JOIN visits v"
+        " ON v.canonical_url = g.canonical_url AND v.ts_milli = g.kept_ts "
+        "GROUP BY g.canonical_url, g.n_visits, g.kept_ts"
+    )
+
+
 def gopher_quality_sql(
     min_words: int = 50,
     max_words: int = 100_000,

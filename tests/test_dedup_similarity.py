@@ -441,6 +441,35 @@ def test_url_canonicalization_rules(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_latest_per_url_election(spark):
+    from dss_plugin_google_cloud_vision_spark.operators.urls import latest_per_url
+
+    rows = [
+        # three spellings of ONE canonical url; ids 11 and 12 tie on the
+        # newest ts -> winner is id 12 (lexicographic struct max)
+        (10, "https://h.org/a?b=2&a=1", 100),
+        (11, "HTTPS://H.ORG:443/a?a=1&b=2&utm_x=1", 105),
+        (12, "https://h.org/a?b=2&a=1#frag", 105),
+        # a single-visit url
+        (20, "http://solo.net/p", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string, ts int")
+
+    def run(frame):
+        return {
+            r["canonical_url"]: (r["n_visits"], r["kept_ts"], r["kept_id"])
+            for r in latest_per_url(frame, ts_col="ts").collect()
+        }
+
+    got = run(df)
+    assert got == {
+        "https://h.org/a?a=1&b=2": (3, 105, 12),
+        "http://solo.net/p": (1, 50, 20),
+    }
+    # partitioning-invariant (map-combined election, no window)
+    assert run(df.repartition(8)) == got
+
+
 def test_gopher_quality_rules(spark):
     from dss_plugin_google_cloud_vision_spark.operators.textstats import gopher_quality_table
 
