@@ -362,3 +362,23 @@ def test_bpe_word_table_single_exchange(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(bpe_word_table(docs))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_latest_per_url_single_exchange_no_window(spark, sf_dir):
+    """Revisit dedup elects the kept crawl via max(struct(ts, id)):
+    exactly one Exchange (the canonical-url groupBy), a map-side
+    partial aggregate before it (a hot re-crawled URL is bounded by
+    its post-combine partials), and NO window function."""
+    from dss_plugin_google_cloud_vision_spark.operators.urls import latest_per_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    visits = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("https://h.org/p/"), F.col("doc_id") % 100).alias("url"),
+        (F.col("doc_id") * 7).alias("warc_ts"),
+    )
+    plan = _plan(latest_per_url(visits))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
+    # partial (map-side) aggregation present before the shuffle
+    assert "partial_" in plan or "HashAggregate" in plan.split("Exchange")[0], plan
