@@ -53,7 +53,14 @@ def _ngram_occurrences(
     """(id_cols..., bucket) — one row per hashed unigram/bigram occurrence.
     ``id_cols`` may be aliasing expressions; they are applied once (the
     second projection references the post-alias names)."""
-    exploded = df.select(*id_cols, F.explode(ngram_strings(text_col)).alias("_ngram"))
+    # stage the token array through a bound column (CLAUDE.md lambda
+    # rule): the inline split re-inlines per element_at in the bigram
+    # lambda — quadratic in document length
+    staged = df.select(*id_cols, F.split(F.col(text_col), " ").alias("_toks"))
+    exploded = staged.select(
+        *[c for c in staged.columns if c != "_toks"],
+        F.explode(ngram_strings(text_col, tokens=F.col("_toks"))).alias("_ngram"),
+    )
     keep = [c for c in exploded.columns if c != "_ngram"]
     return exploded.select(
         *keep, hashed_ngram_bucket(F.col("_ngram"), n_buckets, seed).alias("bucket")

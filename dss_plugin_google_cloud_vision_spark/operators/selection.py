@@ -50,12 +50,18 @@ def hashed_ngram_bucket(ngram: Column, n_buckets: int = DSIR_N_BUCKETS, seed: in
     return (F.conv(key, 16, 10).cast("bigint") % n_buckets).cast("int")
 
 
-def ngram_strings(text_col: str = "text") -> Column:
+def ngram_strings(text_col: str = "text", tokens: Column | None = None) -> Column:
     """Unigrams + space-joined bigrams of the whitespace tokenization —
-    the DSIR feature set. Row-local; bigrams via the pre-bound-array
-    transform idiom (an inline split inside the lambda re-evaluates per
-    element)."""
-    toks = F.split(F.col(text_col), " ")
+    the DSIR feature set. Row-local.
+
+    Perf: pass ``tokens`` as a PRE-BOUND column (stage
+    ``F.split(col, " ")`` through a ``.select(...).alias("_toks")`` first,
+    then pass ``F.col("_toks")``) — same contract as
+    ``dedup.shingles_column``. An inline split expression is re-inlined by
+    every ``element_at`` inside the transform lambda (CollapseProject only
+    keeps attribute/literal aliases out of lambdas), turning the bigram
+    build quadratic in document length."""
+    toks = F.split(F.col(text_col), " ") if tokens is None else tokens
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -98,10 +104,18 @@ def dsir_importance_table(
     Output: id, n_ngrams, score_micro_sum, importance_micro.
     Mirrored by ``oracles.dsir_importance_sql``.
     """
-    occ = df.select(
+    # stage the token array through a bound column BEFORE the bigram
+    # transform (CLAUDE.md lambda rule — the r5 verdict measured the
+    # inline form 10-24x slower: the split re-evaluates per element)
+    staged = df.select(
         F.col(id_col),
         F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("_tgt"),
-        F.explode(ngram_strings(text_col)).alias("_ngram"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    )
+    occ = staged.select(
+        F.col(id_col),
+        F.col("_tgt"),
+        F.explode(ngram_strings(text_col, tokens=F.col("_toks"))).alias("_ngram"),
     ).withColumn("bucket", hashed_ngram_bucket(F.col("_ngram"), n_buckets, seed))
     bucket_stats = occ.groupBy("bucket").agg(
         F.count("*").alias("cnt_all"), F.sum("_tgt").alias("cnt_target")
