@@ -436,7 +436,7 @@ def embedding_near_dup_pairs(
     ~99% (8.1° angle → per-bit flip ~4.5%, band-match 0.69, 4 bands);
     exactly-parallel vectors share every band key, so exact duplicates are
     always recalled."""
-    from .similarity import dot_product, hyperplane_band_keys, norm
+    from .similarity import hyperplane_band_keys_udf, norm, pair_dot_udf
 
     if dim is None:
         # NB: inference fires one eager single-row job at plan-build time;
@@ -450,12 +450,17 @@ def embedding_near_dup_pairs(
                 [], f"vec_a {id_type}, vec_b {id_type}, cos_micro bigint"
             )
         dim = len(first[0])
-    keys = hyperplane_band_keys(F.col(vec_col), dim, n_planes, n_bands)
-    band_structs = F.array(
-        *[F.struct(F.lit(b).alias("band"), key.alias("key")) for b, key in enumerate(keys)]
-    )
-    banded = df.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # r6: band keys via the vectorized Arrow kernel — bit-identical sign
+    # bits (similarity.hyperplane_band_keys_udf), but no n_planes×dim
+    # literal tree (the F.lit chatter alone cost ~2s per plan build) and
+    # no interpreted per-plane folds. posexplode's 0-based pos IS the
+    # band index the struct-explode form carried. A null vector used to
+    # get all-zero keys whose candidate pairs died at the cosine filter;
+    # the kernel emits NULL (posexplode drops the row) — same output,
+    # fewer junk candidates.
+    keys_arr = hyperplane_band_keys_udf(dim, n_planes, n_bands)(F.col(vec_col))
+    banded = df.select(
+        F.col(id_col), F.posexplode(keys_arr).alias("band", "key")
     )
     left = banded.select(F.col(id_col).alias("vec_a"), "band", "key")
     right = banded.select(F.col(id_col).alias("vec_b"), "band", "key")
@@ -474,7 +479,9 @@ def embedding_near_dup_pairs(
     a = normed.select(F.col(id_col).alias("vec_a"), F.col("_e").alias("emb_a"))
     b = normed.select(F.col(id_col).alias("vec_b"), F.col("_e").alias("emb_b"))
     pairs = candidates.join(a, "vec_a").join(b, "vec_b")
-    cos_micro = F.round(dot_product(F.col("emb_a"), F.col("emb_b")) * 1_000_000).cast("bigint")
+    # vectorized Arrow pair-dot (r6): bit-identical left-fold doubles
+    # (similarity.pair_dot_udf), HALF_UP round stays in SQL
+    cos_micro = F.round(pair_dot_udf()(F.col("emb_a"), F.col("emb_b")) * 1_000_000).cast("bigint")
     return pairs.select("vec_a", "vec_b", cos_micro.alias("cos_micro")).filter(
         F.col("cos_micro") >= threshold_micro
     )
@@ -528,10 +535,16 @@ def near_dup_clusters(
             F.col("a.label").alias("label"),
             F.coalesce(F.col("b.label"), F.col("a.label")).alias("jump_label"),
         )
+        # carry the OLD label through the update so one count both
+        # materializes the (lazy) checkpoint and answers the convergence
+        # question — r6: this halves the actions per iteration (the old
+        # form ran an eager checkpoint job, then a separate
+        # join-with-previous-labels count job). Results identical.
         updated = (
             label_of_label.join(neighbor_min, label_of_label.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"),
                     F.col("jump_label"),
@@ -539,14 +552,9 @@ def near_dup_clusters(
                 ).alias("label"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate the growing lineage
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        updated = updated.localCheckpoint(eager=False)  # truncate the growing lineage
+        changed = updated.filter(F.col("label") != F.col("_old")).count()
+        labels = updated.select("node", "label")
         if changed == 0:
             converged = True
             break
@@ -1041,7 +1049,7 @@ def semantic_dedup(
     left-fold argmax of ``similarity.ivf_cell_udf``; pair cosine is the
     L2-normalize-once + single-dot chain of ``embedding_near_dup_pairs``
     — both already mirrored in oracles.py."""
-    from .similarity import assign_cells, dot_product, norm, train_centroids
+    from .similarity import assign_cells, norm, pair_dot_udf, train_centroids
 
     if centroids is None:
         centroids = train_centroids(df, n_clusters, n_iterations, id_col, vec_col)
@@ -1061,7 +1069,12 @@ def semantic_dedup(
     b = normed.select(
         F.col(id_col).alias("_b"), F.col("cluster"), F.col("_e").alias("_eb")
     )
-    cos_micro = F.round(dot_product(F.col("_ea"), F.col("_eb")) * 1_000_000).cast("bigint")
+    # pair cosine via the vectorized Arrow kernel (r6): bit-identical
+    # left-fold doubles (similarity.pair_dot_udf), HALF_UP round stays in
+    # SQL — the interpreted per-pair fold dominated this stage
+    cos_micro = F.round(
+        pair_dot_udf()(F.col("_ea"), F.col("_eb")) * 1_000_000
+    ).cast("bigint")
     dups = (
         a.join(b, "cluster")
         .filter(F.col("_a") < F.col("_b"))

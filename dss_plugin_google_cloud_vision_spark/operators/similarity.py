@@ -54,6 +54,48 @@ def cosine_micro(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b) * 1_000_000).cast("bigint")
 
 
+def pair_dot_udf():
+    """Vectorized pairwise dot product (Arrow batch kernel) with the
+    IDENTICAL left-fold IEEE chain as ``dot_product`` — one numpy
+    multiply-add per dimension over the whole batch
+    (``acc = acc + a[:, d] * b[:, d]``), never ``ndarray.sum()``/matmul
+    (blocked accumulation diverges from the fold — CLAUDE.md).
+
+    Why it exists (r6): candidate-pair verification evaluates one dot per
+    pair; the interpreted ``F.aggregate``/``zip_with`` fold costs ~64
+    interpreter dispatches per element, which dominates
+    ``semantic_dedup``'s and ``embedding_near_dup_pairs``'s verify stage.
+    This kernel computes the same doubles bit-for-bit in one narrow
+    ArrowEvalPython stage. A null on either side yields a SQL NULL —
+    exactly the old fold's null propagation. The raw double is returned;
+    callers keep ``F.round(... * 1e6)`` in SQL so rounding semantics
+    (HALF_UP) never enter numpy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def pair_dot(a, b):
+        va, vb = a.values, b.values
+        ok = [
+            i
+            for i in range(len(va))
+            if va[i] is not None and vb[i] is not None
+        ]
+        out = pd.array([None] * len(va), dtype="Float64")
+        if ok:
+            ma = np.stack([np.asarray(va[i], dtype=np.float64) for i in ok])
+            mb = np.stack([np.asarray(vb[i], dtype=np.float64) for i in ok])
+            acc = np.zeros(ma.shape[0])
+            for d in range(ma.shape[1]):
+                # ONE add per dimension — the exact left-fold chain
+                acc = acc + ma[:, d] * mb[:, d]
+            out[np.asarray(ok)] = acc
+        return pd.Series(out)
+
+    pair_dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(pair_dot, "double")
+
+
 def _ranked_topk(
     scored: DataFrame, k: int, id_col: str, score_col: str = "cos_micro"
 ) -> DataFrame:
@@ -137,26 +179,29 @@ def lsh_bucketed_topk(
     planes_per_band = n_planes // n_bands
     query = F.array(*[F.lit(float(v)) for v in query_vector])
 
-    def band_cols(vec: Column, prefix: str) -> List[Column]:
-        full = signature_bits(vec, dim, n_planes)
-        mask = (1 << planes_per_band) - 1
-        return [
-            (F.shiftright(full, b * planes_per_band).bitwiseAND(F.lit(mask))).alias(f"{prefix}{b}")
-            for b in range(n_bands)
-        ]
-
-    scored = df.select(F.col(id_col), F.col(vec_col), *band_cols(F.col(vec_col), "band"))
-    # the query band expressions are literal-only: evaluate them over a
-    # 1-row range, not a limit(1) scan of the corpus
-    query_row = df.sparkSession.range(1).select(
-        *[c.alias(f"qband{i}") for i, c in enumerate(band_cols(query, "q"))]
-    )
-    with_query = scored.crossJoin(F.broadcast(query_row))
+    # r6: corpus-side band keys via the vectorized Arrow kernel (same
+    # sign bits, no n_planes×dim literal tree / interpreted folds —
+    # see hyperplane_band_keys_udf); query-side keys computed on the
+    # DRIVER with the identical _fold_dot left-fold chain (the
+    # _probe_cells precedent), folding to integer literals — this also
+    # removes the old 1-row crossJoin. Candidate set unchanged: a null
+    # vector's keys become SQL NULLs (never equal) instead of the old
+    # all-zero keys, but those rows' cosines were NULL and never ranked.
+    qkeys = []
+    for b in range(n_bands):
+        key = 0
+        for r in range(planes_per_band):
+            plane = _hyperplane(dim, b * planes_per_band + r)
+            if _fold_dot(query_vector, plane) > 0:
+                key += 1 << r
+        qkeys.append(key)
+    keys_arr = hyperplane_band_keys_udf(dim, n_planes, n_bands)(F.col(vec_col))
+    scored = df.select(F.col(id_col), F.col(vec_col), keys_arr.alias("_bands"))
     candidate_filter = None
     for b in range(n_bands):
-        clause = F.col(f"band{b}") == F.col(f"qband{b}")
+        clause = F.element_at(F.col("_bands"), b + 1) == F.lit(qkeys[b])
         candidate_filter = clause if candidate_filter is None else (candidate_filter | clause)
-    candidates = with_query.filter(candidate_filter)
+    candidates = scored.filter(candidate_filter)
     rescored = candidates.select(
         F.col(id_col), cosine_micro(F.col(vec_col), query).alias("cos_micro")
     )
@@ -183,6 +228,54 @@ def hyperplane_band_keys(
             )
         keys.append(sum(terms[1:], terms[0]).cast("int"))
     return keys
+
+
+def hyperplane_band_keys_udf(dim: int, n_planes: int = 32, n_bands: int = 4):
+    """Vectorized form of ``hyperplane_band_keys``: ONE Arrow batch
+    kernel computing every band key per vector (returns ``array<int>``
+    of length ``n_bands``), replacing ``n_planes`` interpreted
+    ``F.aggregate`` folds AND the ``n_planes × dim`` literal expression
+    tree (r6: building those ``F.lit`` arrays cost ~2 s of py4j round
+    trips per plan, and the literals bloat Catalyst optimization).
+
+    Bit-exactness: each plane dot is the same per-dimension left-fold
+    chain as ``dot_product``/``ivf_cell_udf`` (``acc = acc + v[:, d] *
+    plane[d]`` — one numpy multiply-add per dimension, never matmul or
+    ``ndarray.sum()``), and the planes are the identical
+    ``_hyperplane`` doubles, so the sign bits — and therefore every
+    band key — match the expression form and the DuckDB oracle
+    bit-for-bit. A null vector yields a SQL NULL (the expression form's
+    null propagation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_per_band = n_planes // n_bands
+    planes = np.array(
+        [_hyperplane(dim, p) for p in range(n_planes)], dtype=np.float64
+    )  # (n_planes, dim)
+
+    def band_keys(vecs):
+        values = vecs.values
+        ok = [i for i in range(len(values)) if values[i] is not None]
+        out = [None] * len(values)
+        if ok:
+            m = np.stack([np.asarray(values[i], dtype=np.float64) for i in ok])
+            acc = np.zeros((m.shape[0], n_planes))
+            for d in range(dim):
+                # ONE multiply-add per dimension — the exact left fold
+                acc = acc + m[:, d : d + 1] * planes[None, :, d]
+            bits = acc > 0
+            keys = np.zeros((m.shape[0], n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for r in range(planes_per_band):
+                    keys[:, b] += bits[:, b * planes_per_band + r] << r
+            for row, i in enumerate(ok):
+                out[i] = [int(v) for v in keys[row]]
+        return pd.Series(out)
+
+    band_keys.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(band_keys, "array<int>")
 
 
 def sample_centroids(
