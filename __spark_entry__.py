@@ -913,6 +913,10 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_gated = extracted.withColumn("n_tokens", F.size(F.split("etext", " "))).filter(
         F.col("n_tokens") >= 20
     )
+    # exact_dedup_keep_first consumes its input twice (keeper election +
+    # semi-join probe) — checkpoint so extraction executes once (r6;
+    # execution hint only, results identical)
+    quality_gated = quality_gated.localCheckpoint(eager=False)
     deduped = exact_dedup_keep_first(quality_gated, id_col="doc_id", text_col="etext")
     return deduped.select("doc_id", "lang", F.col("n_tokens").cast("bigint").alias("n_tokens"))
 

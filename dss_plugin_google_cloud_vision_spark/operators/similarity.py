@@ -598,16 +598,23 @@ def train_pq_codebooks(
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
     sub = dim // n_subspaces
-    codebooks = []
-    for j in range(n_subspaces):
+
+    # the per-subspace trainings are independent job chains — overlap
+    # them from a small thread pool (guide §2.6) so one subspace's
+    # collect latency back-fills the other's tasks; results are
+    # per-subspace deterministic, so order is preserved by index
+    def train_one(j: int):
         sliced = df.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
         )
-        codebooks.append(
-            train_centroids(
-                sliced, n_codes, train_iterations, id_col, vec_col, metric="l2"
-            )
+        return train_centroids(
+            sliced, n_codes, train_iterations, id_col, vec_col, metric="l2"
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, n_subspaces)) as pool:
+        codebooks = list(pool.map(train_one, range(n_subspaces)))
     return codebooks
 
 
@@ -772,12 +779,19 @@ def build_ivfpq_index(
 
     Returns ``(centroids, codebooks)`` — the two codebook artifacts a
     search job ships exactly like any trained-model side input."""
-    centroids = train_centroids(
-        df, n_centroids, ivf_train_iterations, id_col, vec_col
-    )
-    codebooks = train_pq_codebooks(
-        df, n_subspaces, n_codes, pq_train_iterations, id_col, vec_col
-    )
+    # IVF and PQ codebooks are trained from the same raw vectors with no
+    # cross-dependency — overlap the two job chains (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ivf_future = pool.submit(
+            train_centroids, df, n_centroids, ivf_train_iterations, id_col, vec_col
+        )
+        pq_future = pool.submit(
+            train_pq_codebooks, df, n_subspaces, n_codes, pq_train_iterations, id_col, vec_col
+        )
+        centroids = ivf_future.result()
+        codebooks = pq_future.result()
     encoded = encode_pq(
         assign_cells(df, centroids, vec_col), codebooks, vec_col, code_col
     )

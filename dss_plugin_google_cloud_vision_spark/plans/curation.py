@@ -52,6 +52,11 @@ def curate_corpus(
     gated = extracted.withColumn("n_tokens", F.size(F.split("text", " "))).filter(
         F.col("n_tokens") >= min_tokens
     )
+    if materialize_intermediate:
+        # exact_dedup_keep_first consumes its input twice (keeper
+        # election + semi-join probe) — without this the whole
+        # extraction stage executes twice (r6)
+        gated = gated.localCheckpoint(eager=False)
     exact = exact_dedup_keep_first(gated, id_col="doc_id", text_col="text")
     if materialize_intermediate:
         exact = exact.localCheckpoint(eager=False)

@@ -55,6 +55,10 @@ def curate_web_corpus(
     gated = deduped_lines.join(
         quality.filter(F.col("keep") == 1).select("doc_id"), "doc_id", "left_semi"
     )
+    # dual consumer (exact-dedup chain + the n_gated summary count):
+    # without this the whole paragraph-build → line-dedup → Gopher gate
+    # chain executes twice (r6)
+    gated = gated.localCheckpoint(eager=False)
     exact = exact_dedup_keep_first(gated, id_col="doc_id", text_col="text")
     exact = exact.localCheckpoint(eager=False)  # dual consumer: pair graph + anti-join
     pairs = near_dup_pairs(
