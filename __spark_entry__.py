@@ -1787,13 +1787,27 @@ def q_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     honesty column, not a quality claim — the operator under test is the
     distributed inference shape)."""
     from dss_plugin_google_cloud_vision_spark.operators.classifier import (
+        _ngram_occurrences,
         classify_documents,
         train_class_affinity_weights,
     )
+    from dss_plugin_google_cloud_vision_spark.operators.classifier import CLS_SEED
+    from dss_plugin_google_cloud_vision_spark.operators.selection import DSIR_N_BUCKETS
 
     docs = _table(spark, sf_dir, "documents")
-    weights = train_class_affinity_weights(docs, label_col="lang")
-    pred = classify_documents(docs, weights)
+    # one (doc, label, bucket) occurrence table shared by the trainer's
+    # two aggregates AND inference (identical rows under the same seed) —
+    # the corpus explode + md5 bucketing executes once instead of three
+    # times (r6; execution hint only, results identical)
+    occ = _ngram_occurrences(
+        docs,
+        [F.col("doc_id"), F.col("lang").alias("label")],
+        "text",
+        DSIR_N_BUCKETS,
+        CLS_SEED,
+    ).localCheckpoint(eager=False)
+    weights = train_class_affinity_weights(docs, label_col="lang", occurrences=occ)
+    pred = classify_documents(docs, weights, occurrences=occ)
     return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id",
         "lang",

@@ -74,13 +74,25 @@ def train_class_affinity_weights(
     n_buckets: int = DSIR_N_BUCKETS,
     scale: int = DSIR_SCALE,
     seed: int = CLS_SEED,
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """One-pass weight table (bucket, label, weight_micro), dense over
     every (touched bucket) x (seen label) so inference joins never drop a
     class. All arithmetic is bigint ``div``; overflow bound: a single
     bucket must hold < ~9e12 occurrences of one class (raise
-    ``n_buckets`` long before that)."""
-    occ = _ngram_occurrences(df, [F.col(label_col).alias("label")], text_col, n_buckets, seed)
+    ``n_buckets`` long before that).
+
+    ``occurrences`` (r6): optionally pass a precomputed (label, bucket)
+    occurrence table — one row per hashed unigram/bigram occurrence of
+    ``df`` under the SAME (n_buckets, seed) — so a train+inference
+    composition evaluates the corpus explode + md5 bucketing once
+    instead of per consumer. Must be row-equivalent to the internal
+    build (the caller owns that contract)."""
+    occ = (
+        occurrences.select("label", "bucket")
+        if occurrences is not None
+        else _ngram_occurrences(df, [F.col(label_col).alias("label")], text_col, n_buckets, seed)
+    )
     bucket_totals = occ.groupBy("bucket").agg(F.count("*").alias("cnt_all"))
     pair_counts = occ.groupBy("bucket", "label").agg(F.count("*").alias("cnt"))
     labels = df.select(F.col(label_col).alias("label")).distinct()
@@ -108,6 +120,7 @@ def classify_documents(
     text_col: str = "text",
     n_buckets: int = DSIR_N_BUCKETS,
     seed: int = CLS_SEED,
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """Predict one label per document from a (bucket, label, weight_micro)
     table: broadcast-join weights onto the document's hashed n-gram
@@ -116,8 +129,16 @@ def classify_documents(
     produce no row — the caller left-joins if absence matters.
 
     Output: id, predicted_label, best_score_micro, n_ngrams (occurrence
-    count, == per-label join fan-in)."""
-    occ = _ngram_occurrences(df, [F.col(id_col)], text_col, n_buckets, seed)
+    count, == per-label join fan-in).
+
+    ``occurrences`` (r6): optional precomputed (id, bucket) occurrence
+    table under the same (n_buckets, seed) — see
+    ``train_class_affinity_weights``."""
+    occ = (
+        occurrences.select(id_col, "bucket")
+        if occurrences is not None
+        else _ngram_occurrences(df, [F.col(id_col)], text_col, n_buckets, seed)
+    )
     scored = (
         occ.join(F.broadcast(weights), "bucket")
         .groupBy(id_col, "label")

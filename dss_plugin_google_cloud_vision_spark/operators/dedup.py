@@ -518,8 +518,19 @@ def near_dup_clusters(
     # materialize the edge list ONCE: the loop re-reads it every iteration
     # and ``pairs`` is usually the tail of an expensive LSH pipeline
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    # seed labels at min(self, min neighbor) rather than self (r6): one
+    # aggregate replaces the old distinct AND pre-applies the first
+    # neighbor-propagation hop, so star-shaped duplicate families (the
+    # common near-dup cluster shape) converge one full loop iteration
+    # earlier. Any seed that is the id of a reachable component member
+    # >= the component minimum yields the identical fixpoint.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("label"),
+        )
     )
     converged = False
     for _ in range(max_iterations):

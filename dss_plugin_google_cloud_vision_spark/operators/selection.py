@@ -117,6 +117,12 @@ def dsir_importance_table(
         F.col("_tgt"),
         F.explode(ngram_strings(text_col, tokens=F.col("_toks"))).alias("_ngram"),
     ).withColumn("bucket", hashed_ngram_bucket(F.col("_ngram"), n_buckets, seed))
+    # occ feeds BOTH the bucket-stats aggregate and the weights join —
+    # checkpoint the narrow int projection (ngram text dropped) so the
+    # explode + md5 bucketing pass executes once, not twice (r6). The
+    # stored rows are 3 ints per occurrence; a deployment preferring
+    # recompute over storage at extreme scale can trade this back.
+    occ = occ.select(id_col, "_tgt", "bucket").localCheckpoint(eager=False)
     bucket_stats = occ.groupBy("bucket").agg(
         F.count("*").alias("cnt_all"), F.sum("_tgt").alias("cnt_target")
     )
