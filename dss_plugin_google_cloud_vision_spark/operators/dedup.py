@@ -1060,7 +1060,7 @@ def semantic_dedup(
     left-fold argmax of ``similarity.ivf_cell_udf``; pair cosine is the
     L2-normalize-once + single-dot chain of ``embedding_near_dup_pairs``
     — both already mirrored in oracles.py."""
-    from .similarity import assign_cells, norm, pair_dot_udf, train_centroids
+    from .similarity import assign_cells, cluster_max_lower_dots, norm, train_centroids
 
     if centroids is None:
         centroids = train_centroids(df, n_clusters, n_iterations, id_col, vec_col)
@@ -1074,24 +1074,17 @@ def semantic_dedup(
         F.col("cluster"),
         F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_n")).alias("_e"),
     )
-    a = normed.select(
-        F.col(id_col).alias("_a"), F.col("cluster"), F.col("_e").alias("_ea")
-    )
-    b = normed.select(
-        F.col(id_col).alias("_b"), F.col("cluster"), F.col("_e").alias("_eb")
-    )
-    # pair cosine via the vectorized Arrow kernel (r6): bit-identical
-    # left-fold doubles (similarity.pair_dot_udf), HALF_UP round stays in
-    # SQL — the interpreted per-pair fold dominated this stage
-    cos_micro = F.round(
-        pair_dot_udf()(F.col("_ea"), F.col("_eb")) * 1_000_000
-    ).cast("bigint")
+    # within-cluster pair cosines via the grouped numpy kernel (r6 #2):
+    # each vector crosses the Python boundary ONCE (grouped by cluster)
+    # instead of riding every expanded pair row (~n²/k · 2·dim doubles);
+    # the per-member MAX dot filtered with the SAME SQL HALF_UP round is
+    # exactly the old exists-a-qualifying-lower-id-pair rule because
+    # round is monotone (see similarity.cluster_max_lower_dots)
+    max_dots = cluster_max_lower_dots(normed, id_col, vec_col="_e")
+    cos_micro = F.round(F.col("_max_dot") * 1_000_000).cast("bigint")
     dups = (
-        a.join(b, "cluster")
-        .filter(F.col("_a") < F.col("_b"))
-        .filter(cos_micro >= threshold_micro)
-        .select(F.col("_b").alias(id_col))
-        .distinct()
+        max_dots.filter(cos_micro >= threshold_micro)
+        .select(F.col(id_col))
         .withColumn("_dup", F.lit(True))
     )
     return (

@@ -96,6 +96,86 @@ def pair_dot_udf():
     return pandas_udf(pair_dot, "double")
 
 
+def cluster_max_lower_dots(
+    normed: DataFrame,
+    id_col: str,
+    vec_col: str = "_e",
+    cluster_col: str = "cluster",
+    pair_block: int = 4_000_000,
+) -> DataFrame:
+    """Per cluster member, the MAX dot product against any LOWER-id
+    member of the same cluster: (id, _max_dot), one row per member that
+    has at least one lower-id partner.
+
+    Why it exists (r6): ``semantic_dedup``'s dup rule only asks whether
+    SOME lower-id cluster-mate clears the cosine radius. The join form
+    expands every within-cluster pair to a row carrying BOTH vectors
+    (~n²/k · 2·dim doubles through the Python boundary — 150 MB at bench
+    scale for 3 MB of distinct vectors); here each vector crosses ONCE
+    (grouped by cluster) and the pairwise dots happen inside one numpy
+    kernel. Because HALF_UP ``round`` is monotone non-decreasing,
+    ``round(max(dot)·1e6) ≥ t  ⇔  ∃ pair: round(dot·1e6) ≥ t``, so
+    filtering the max is EXACTLY the old exists-a-qualifying-pair rule —
+    the SQL rounding/threshold stays outside numpy, as with
+    ``pair_dot_udf``.
+
+    IEEE chain: per-dimension multiply-add over the pair block
+    (``acc = acc + A[I, d] * A[J, d]``) — the identical left-fold as
+    ``pair_dot_udf``/``dot_product``, never matmul/``ndarray.sum()``
+    (CLAUDE.md); ``max`` is order-free. Pair blocks are bounded
+    (``pair_block`` rows at a time), so per-group memory stays O(block
+    + members·dim) even on a hot cluster; the n²/k pair COUNT is the
+    operator's documented k ∝ √n contract, unchanged here."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(normed.dtypes)[id_col]
+    _PAIR_BLOCK = int(pair_block)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"), "_max_dot": pd.Series([], dtype="float64")}
+            )
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        dim = mat.shape[1]
+        out_ids, out_max = [], []
+        j = 1
+        while j < m:
+            # block of target positions [j, j_end): sum of lower-partner
+            # counts bounded by _PAIR_BLOCK
+            j_end, npairs = j, 0
+            while j_end < m and (npairs == 0 or npairs + j_end <= _PAIR_BLOCK):
+                npairs += j_end
+                j_end += 1
+            counts = np.arange(j, j_end)
+            big_j = np.repeat(counts, counts)
+            big_i = np.concatenate([np.arange(c) for c in counts])
+            acc = np.zeros(len(big_j))
+            for d in range(dim):
+                # ONE add per dimension — the exact left-fold chain
+                acc = acc + mat[big_i, d] * mat[big_j, d]
+            offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            out_ids.append(ids[counts])
+            out_max.append(np.maximum.reduceat(acc, offsets))
+            j = j_end
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_ids),
+                "_max_dot": np.concatenate(out_max),
+            }
+        )
+
+    return (
+        normed.select(cluster_col, id_col, vec_col)
+        .groupBy(cluster_col)
+        .applyInPandas(kernel, schema=f"{id_col} {id_type}, _max_dot double")
+    )
+
+
 def _ranked_topk(
     scored: DataFrame, k: int, id_col: str, score_col: str = "cos_micro"
 ) -> DataFrame:

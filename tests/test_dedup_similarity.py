@@ -1107,3 +1107,50 @@ def test_keep_latest_rows_full_row_recovery(spark):
     # every original column survives
     assert got == {12: "new", 20: "solo"}
     assert set(keep_latest_rows(df, ts_col="ts").columns) == set(df.columns)
+
+
+def test_cluster_max_lower_dots_matches_reference_fold(spark):
+    """The grouped pair kernel (semantic_dedup's r6 pair stage) must equal
+    a brute-force per-pair LEFT-FOLD reference bit-for-bit: max over
+    lower-id cluster-mates, one row per member with a lower partner,
+    singleton clusters silent. pair_block=7 forces multi-block paths on
+    every cluster, so the block boundary arithmetic is load-bearing."""
+    import random
+
+    from dss_plugin_google_cloud_vision_spark.operators.similarity import (
+        cluster_max_lower_dots,
+    )
+
+    rng = random.Random(20260822)
+    dim = 8
+    rows = []
+    # cluster 0: 9 members (36 pairs -> several 7-pair blocks); cluster 1:
+    # 2 members (single pair); cluster 2: singleton (no output row)
+    for cid, members in ((0, 9), (1, 2), (2, 1)):
+        for m in range(members):
+            vec = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+            rows.append((cid * 100 + m, cid, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, cluster int, _e array<double>")
+
+    got = {
+        r["vec_id"]: r["_max_dot"]
+        for r in cluster_max_lower_dots(df, "vec_id", pair_block=7).collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    by_cluster = {}
+    for vid, cid, vec in rows:
+        by_cluster.setdefault(cid, []).append((vid, vec))
+    want = {}
+    for members in by_cluster.values():
+        members.sort()
+        for j in range(1, len(members)):
+            want[members[j][0]] = max(
+                fold_dot(members[i][1], members[j][1]) for i in range(j)
+            )
+    assert got == want  # bit-exact doubles, exact row set
