@@ -1067,6 +1067,10 @@ def semantic_dedup(
     assigned = assign_cells(
         df.select(id_col, vec_col), centroids, vec_col, cell_name="cluster"
     )
+    # dual consumer (pair stage + the final id-grain left join): without
+    # this the full-corpus Arrow assignment pass executes twice — Spark
+    # reuses exchanges, not arbitrary subtrees (r6, the §5 discipline)
+    assigned = assigned.localCheckpoint(eager=False)
     normed = assigned.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col("cluster"), norm(F.col(vec_col)).alias("_n"), F.col(vec_col)
     ).select(
